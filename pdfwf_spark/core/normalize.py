@@ -1,0 +1,59 @@
+"""Scalar normalization rules (SURVEY §2.8 F1–F5).
+
+Each function mirrors a reference behavior with the file:line cited;
+the same regexes are used as Spark SQL ``regexp_replace`` /
+``regexp_extract`` expressions in ``pdfwf_spark.operators.functions``
+so SQL-level and UDF-level normalization agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import re
+
+# F1 — DOI extraction. Reference: pdfwf/parsers/pymupdf.py:36-39 and
+# pdfwf/parsers/pypdf.py:43-46 use r'(doi:\s*|doi\.org/)(\S+)' group(2).
+DOI_RE = re.compile(r"(doi:\s*|doi\.org/)(\S+)")
+
+# F2 — blank-line collapse. Reference: pdfwf/parsers/nougat_.py:250
+# (re.sub(r'\n{3,}', '\n\n', out).strip()).
+BLANK_RUN_RE = re.compile(r"\n{3,}")
+
+# F3 — whitespace-run collapse. Reference:
+# pdfwf/parsers/oreo/tensor_utils.py:2399,2414-2415
+# (re.sub(re.compile(r'(\n\s*)+'), '\n', proc_text)).
+WS_RUN_RE = re.compile(r"(\n\s*)+")
+
+# F4 — abstract-length threshold. Reference: pdfwf/parsers/pymupdf.py:34
+# (ABSTRACT_THRESHOLD = 580), applied at pymupdf.py:76-80.
+ABSTRACT_THRESHOLD = 580
+
+# Intra-block whitespace squeeze used by the HTML path (one space
+# between words inside a block; the reference analog is pymupdf's
+# per-page text already being space-joined).
+SPACE_RUN_RE = re.compile(r"[ \t\r\f\v]+")
+
+
+def extract_doi(text: str) -> str:
+    """Return the DOI token or '' (pymupdf.py:36-39 semantics)."""
+    m = DOI_RE.search(text)
+    return m.group(2) if m else ""
+
+
+def collapse_blank_runs(text: str) -> str:
+    """'\\n{3,}' -> '\\n\\n' then strip (nougat_.py:250 semantics)."""
+    return BLANK_RUN_RE.sub("\n\n", text).strip()
+
+
+def collapse_ws_runs(text: str) -> str:
+    """'(\\n\\s*)+' -> '\\n' (tensor_utils.py:2399 semantics)."""
+    return WS_RUN_RE.sub("\n", text)
+
+
+def abstract_or_empty(subject: str) -> str:
+    """Keep subject as abstract iff len > 580 (pymupdf.py:76-80)."""
+    return subject if len(subject) > ABSTRACT_THRESHOLD else ""
+
+
+def squeeze_spaces(text: str) -> str:
+    """Collapse horizontal whitespace runs to single spaces."""
+    return SPACE_RUN_RE.sub(" ", text)

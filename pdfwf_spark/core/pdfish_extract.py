@@ -1,0 +1,212 @@
+"""PDF-ish byte-stream layout parser.
+
+Deterministic plain-text page-stream format modeling what the
+reference's Oreo path computes from page images. The semantics mirror
+(file:line citations into /root/reference):
+
+- block parsing + class labels   <- YOLO detect + SPv05 classes
+  (pdfwf/parsers/oreo/tensor_utils.py:511-527 patch-table columns)
+- overlap dedup (IoU > 0.5)      <- non_max_suppression
+  (tensor_utils.py:38-178; thresholds 402-466); keep larger area,
+  earlier block on tie (no confidences in the text format)
+- class-subset filtering          <- subset_y_by_class
+  (tensor_utils.py:690-751): body = 'text'; meta categories
+  title/abstract/author/date/institution collected separately
+  (tensor_utils.py:2216-2229); header/footnote/table/figure excluded
+  by default (oreo.py:44-51 flag defaults)
+- column detection by x-mid modes <- robust mode estimation
+  (tensor_utils.py:600-658: histogram x_mid, keep high-frequency
+  modes, assign col_idx = argmin |x_mid - mode|)
+- reading-order lexsort           <- lexsort by (col_idx, row, y)
+  (tensor_utils.py:1681-1743, applied 661-669)
+- page sentinels                  <- nougat missing-page markers
+  (pdfwf/parsers/nougat_.py:218-243: [MISSING_PAGE_EMPTY:n] /
+  [MISSING_PAGE_FAIL:n])
+- final whitespace collapse       <- tensor_utils.py:2399,2414-2415
+
+Format::
+
+    %PDFISH1
+    PAGE 1 612 792
+    BLOCK x0 y0 x1 y1 cls|text...
+
+Malformed BLOCK/PAGE line -> that page fails (sentinel). No pages or
+structure broken at the top level -> ParseFailure (row dropped from
+success output, reference semantics README.md:115-116).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pdfwf_spark.core.normalize import collapse_ws_runs
+
+MAGIC = "%PDFISH1"
+
+PAGE_RE = re.compile(r"^PAGE\s+(\d+)(?:\s+[-\d.]+\s+[-\d.]+)?\s*$")
+BLOCK_RE = re.compile(
+    r"^BLOCK\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+"
+    r"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+([a-z_]+)\|(.*)$"
+)
+
+BODY_CLASSES = frozenset({"text"})
+META_CLASSES = frozenset({"title", "abstract", "author", "date", "institution", "keywords"})
+EXCLUDED_CLASSES = frozenset({"header", "footer", "footnote", "table", "figure", "equation"})
+
+IOU_THRESHOLD = 0.5
+COLUMN_GRID = 50.0
+MODE_MIN_FREQ = 0.25
+
+
+class ParseFailure(Exception):
+    """Unrecoverable payload-level parse failure (reference: failed
+    docs have no output row, README.md:115-116, pymupdf.py:110-113)."""
+
+
+@dataclass
+class _Block:
+    page: int
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+    cls: str
+    text: str
+    text_start: int   # offset of text portion in original payload
+    text_end: int
+    seq: int          # arrival order (NMS tiebreak)
+
+    @property
+    def area(self) -> float:
+        return max(0.0, self.x1 - self.x0) * max(0.0, self.y1 - self.y0)
+
+    @property
+    def x_mid(self) -> float:
+        return (self.x0 + self.x1) / 2.0
+
+
+def _iou(a: _Block, b: _Block) -> float:
+    ix0, iy0 = max(a.x0, b.x0), max(a.y0, b.y0)
+    ix1, iy1 = min(a.x1, b.x1), min(a.y1, b.y1)
+    iw, ih = max(0.0, ix1 - ix0), max(0.0, iy1 - iy0)
+    inter = iw * ih
+    union = a.area + b.area - inter
+    return inter / union if union > 0 else 0.0
+
+
+def _nms(blocks: list[_Block]) -> list[_Block]:
+    """Greedy overlap dedup: keep larger area; earlier on tie.
+    tensor_utils.py:38-178 semantics without confidences."""
+    order = sorted(blocks, key=lambda b: (-b.area, b.seq))
+    kept: list[_Block] = []
+    for cand in order:
+        if all(_iou(cand, k) <= IOU_THRESHOLD for k in kept):
+            kept.append(cand)
+    kept.sort(key=lambda b: b.seq)
+    return kept
+
+
+def _column_modes(body: list[_Block]) -> list[float]:
+    """Robust x-mid modes (tensor_utils.py:600-611): histogram on a
+    grid, keep bins with relative frequency >= MODE_MIN_FREQ."""
+    if not body:
+        return []
+    counts: dict[float, int] = {}
+    for b in body:
+        bin_ = round(b.x_mid / COLUMN_GRID) * COLUMN_GRID
+        counts[bin_] = counts.get(bin_, 0) + 1
+    total = len(body)
+    modes = sorted(v for v, c in counts.items() if c / total >= MODE_MIN_FREQ)
+    if not modes:
+        modes = [min(b.x_mid for b in body)]
+    return modes
+
+
+def _col_idx(b: _Block, modes: list[float]) -> int:
+    """argmin |x_mid - mode| (tensor_utils.py:613-658 semantics)."""
+    if not modes:
+        return 0
+    best, best_d = 0, abs(b.x_mid - modes[0])
+    for i, mode in enumerate(modes[1:], start=1):
+        d = abs(b.x_mid - mode)
+        if d < best_d:
+            best, best_d = i, d
+    return best
+
+
+def extract_pdfish(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[str, str]]:
+    """Parse a pdfish payload. Returns (clean_text, spans, meta)."""
+    if not payload.startswith(MAGIC):
+        raise ParseFailure("missing magic")
+
+    pages: dict[int, list[_Block]] = {}
+    failed_pages: set[int] = set()
+    cur_page: int | None = None
+    offset = 0
+    seq = 0
+    lines = payload.split("\n")
+    for lineno, line in enumerate(lines):
+        line_start = offset
+        offset += len(line) + 1
+        stripped = line.strip()
+        if lineno == 0 or not stripped:
+            continue
+        pm = PAGE_RE.match(stripped)
+        if pm:
+            cur_page = int(pm.group(1))
+            pages.setdefault(cur_page, [])
+            continue
+        bm = BLOCK_RE.match(line)
+        if bm:
+            if cur_page is None:
+                raise ParseFailure("BLOCK before any PAGE")
+            text = bm.group(6)
+            text_start = line_start + bm.start(6)
+            pages[cur_page].append(
+                _Block(
+                    page=cur_page,
+                    x0=float(bm.group(1)), y0=float(bm.group(2)),
+                    x1=float(bm.group(3)), y1=float(bm.group(4)),
+                    cls=bm.group(5), text=text,
+                    text_start=text_start, text_end=text_start + len(text),
+                    seq=seq,
+                )
+            )
+            seq += 1
+            continue
+        # Unparseable non-empty line: the page it falls on fails
+        # (per-page failure isolation, oreo.py:256-262 skip semantics).
+        if cur_page is None:
+            raise ParseFailure(f"garbage before any PAGE: {stripped[:40]!r}")
+        failed_pages.add(cur_page)
+
+    if not pages:
+        raise ParseFailure("no pages")
+
+    page_texts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    meta_parts: dict[str, list[str]] = {}
+    for page_no in sorted(pages):
+        if page_no in failed_pages:
+            page_texts.append(f"[MISSING_PAGE_FAIL:{page_no}]")
+            continue
+        blocks = _nms(pages[page_no])
+        body = [b for b in blocks if b.cls in BODY_CLASSES]
+        metas = [b for b in blocks if b.cls in META_CLASSES]
+        for b in sorted(metas, key=lambda b: (b.y0, b.x0, b.seq)):
+            meta_parts.setdefault(b.cls, []).append(b.text.strip())
+            spans.append((b.text_start, b.text_end, b.cls))
+        if not body:
+            page_texts.append(f"[MISSING_PAGE_EMPTY:{page_no}]")
+            continue
+        modes = _column_modes(body)
+        ordered = sorted(body, key=lambda b: (_col_idx(b, modes), b.y0, b.x0, b.seq))
+        for b in ordered:
+            spans.append((b.text_start, b.text_end, "text"))
+        page_texts.append("\n".join(b.text for b in ordered))
+
+    clean_text = collapse_ws_runs("\n".join(page_texts)).strip()
+    meta = {k: " ".join(v).strip() for k, v in meta_parts.items() if any(v)}
+    spans.sort(key=lambda s: (s[0], s[1]))
+    return clean_text, spans, meta

@@ -1,0 +1,105 @@
+"""The extraction operator: one mapInPandas pass over Arrow batches.
+
+This is the Spark re-expression of the reference's entire worker loop
+(reference convert.py:36-74 parse_pdfs: warm parser -> parse batch ->
+emit records), with:
+
+- batch-in/batch-out with row drops  <- BaseParser.parse
+  (reference parsers/base.py:26-29: list[str] -> list[dict] | None)
+- per-payload failure isolation      <- @exception_handler
+  (reference utils.py:92-115) -> parse_status column instead of
+  silent drop, counted into lineage
+- warm-start                          <- registry.py:44-136; here the
+  "model" is the compiled-regex extractor module, imported once per
+  executor process and reused across Arrow batches (module import IS
+  the registry)
+
+No per-row Python at the Spark level: Spark hands us Arrow batches
+(spark.sql.execution.arrow.maxRecordsPerBatch rows at a time); the
+per-payload work inside the batch is C-speed regex + small pure-Python
+state machines (pdfwf_spark.core).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdfwf_spark.core.route import extract_payload
+from pdfwf_spark.schemas import EXTRACTED_SCHEMA
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        texts = pdf["text"].fillna("").tolist()
+        tools = pdf["tool"].fillna("").tolist()
+        parser = [""] * n
+        status = [""] * n
+        reason = [""] * n
+        source = [""] * n
+        clean = [""] * n
+        spans: list[list[dict]] = [[] for _ in range(n)]
+        meta: list[dict] = [{} for _ in range(n)]
+        bytes_in = [0] * n
+        bytes_out = [0] * n
+        tie_key = [""] * n
+        for i in range(n):
+            res = extract_payload(texts[i], tools[i])
+            tie_key[i] = hashlib.md5(
+                (texts[i] + "\x00" + tools[i]).encode("utf-8", "surrogatepass")
+            ).hexdigest()
+            parser[i] = res.parser
+            status[i] = res.status
+            reason[i] = res.reason
+            source[i] = res.source
+            clean[i] = res.clean_text
+            spans[i] = [
+                {"start": s.start, "end": s.end, "label": s.label} for s in res.spans
+            ]
+            meta[i] = res.meta
+            bytes_in[i] = len(texts[i]) + len(tools[i])
+            bytes_out[i] = len(res.clean_text)
+        yield pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].values,
+                "role": pdf["role"].values,
+                "ts": pdf["ts"].values,
+                "parser": parser,
+                "parse_status": status,
+                "fail_reason": reason,
+                "source_col": source,
+                "clean_text": clean,
+                "spans": spans,
+                "meta": meta,
+                "bytes_in": bytes_in,
+                "bytes_out": bytes_out,
+                "bucket": pdf["bucket"].values,
+                "tie_key": tie_key,
+            }
+        )
+
+
+def extract_turns(transcripts: DataFrame) -> DataFrame:
+    """transcripts (+ bucket col) -> extracted rows, all statuses.
+
+    Input must already carry an int `bucket` column (see
+    partitioning.with_bucket); it travels through the UDF so lineage
+    can aggregate per bucket without re-hashing.
+    """
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "bucket"]
+    return transcripts.select(*cols).mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
+
+
+def successes(extracted: DataFrame) -> DataFrame:
+    """Reference semantics: failed docs have no output row
+    (README.md:115-116) — but they stay counted in lineage."""
+    return extracted.filter(F.col("parse_status") == "ok")

@@ -1,0 +1,134 @@
+"""End-to-end extraction job (SURVEY §3.1 Spark lifecycle).
+
+    scan -> anti-join lineage (resume) -> salted repartition ->
+    sortWithinPartitions -> mapInPandas(sniff -> route -> parse) ->
+    stable ordering window -> write data, then lineage
+
+Plan properties (asserted in tests via .explain):
+- the resume anti-join is a BroadcastHashJoin (lineage side is tiny);
+- exactly ONE wide shuffle before the UDF (the salted repartition) and
+  ONE after (the per-conv ordering window, which moves the smaller
+  post-extraction rows);
+- no driver-side loops, no collect.
+
+Commit protocol (reference analog: convert.py:144-182 timer-log
+checkpointing): data for a run is written first; the per-bucket
+lineage rows are written only after the data write completes.
+A crash between the two leaves orphan data files for uncommitted
+buckets; on resume those buckets are re-processed and the orphans are
+superseded on read by filtering to committed run_ids (Iceberg's
+snapshot commit subsumes this dance when its catalog is present).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdfwf_spark.operators.extract import extract_turns, successes
+from pdfwf_spark.operators.lineage import filter_uncommitted, lineage_rows, read_lineage
+from pdfwf_spark.operators.ordering import sort_for_extraction, with_turn_rank
+from pdfwf_spark.operators.partitioning import (
+    DEFAULT_BUCKETS,
+    DEFAULT_SALTS,
+    salted_repartition,
+    with_bucket,
+)
+from pdfwf_spark.sinks.table import append_data, append_lineage
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    input_rows: int
+    ok_rows: int
+    failed_rows: int
+    buckets_processed: int
+    elapsed_s: float
+
+
+def extract_df(
+    transcripts: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    n_partitions: int | None = None,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Pure transform: transcripts -> ranked extraction output (all
+    statuses). Composable; no I/O."""
+    spark = transcripts.sparkSession
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    staged = sort_for_extraction(
+        salted_repartition(with_bucket(transcripts, n_buckets), n_partitions, n_salts)
+    )
+    return with_turn_rank(extract_turns(staged))
+
+
+def run_extraction(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    run_id: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    n_partitions: int | None = None,
+    n_salts: int = DEFAULT_SALTS,
+    resume: bool = True,
+) -> RunResult:
+    """Execute the job against `out_dir` (data at {out_dir}/turns,
+    lineage at {out_dir}/lineage)."""
+    t0 = time.monotonic()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    data_path = f"{out_dir}/turns"
+    lineage_path = f"{out_dir}/lineage"
+
+    inputs = with_bucket(transcripts, n_buckets)
+    if resume:
+        inputs = filter_uncommitted(inputs, read_lineage(spark, lineage_path))
+
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    staged = sort_for_extraction(salted_repartition(inputs, n_partitions, n_salts))
+    extracted = extract_turns(staged)
+
+    # One pass over the UDF output feeds both the data write and the
+    # lineage aggregate; persist avoids re-running extraction.
+    extracted = extracted.persist()
+    try:
+        ranked = with_turn_rank(successes(extracted)).withColumn(
+            "run_id", F.lit(run_id)
+        )
+        append_data(ranked, data_path)
+        lineage = lineage_rows(extracted, run_id)
+        stats = (
+            extracted.groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("parse_status") == "ok", 1).otherwise(0)).alias("ok"),
+                F.countDistinct("bucket").alias("buckets"),
+            )
+            .collect()[0]
+        )
+        append_lineage(lineage, lineage_path)
+    finally:
+        extracted.unpersist()
+
+    n, ok = (stats["n"] or 0), (stats["ok"] or 0)
+    return RunResult(
+        run_id=run_id,
+        input_rows=n,
+        ok_rows=ok,
+        failed_rows=n - ok,
+        buckets_processed=stats["buckets"] or 0,
+        elapsed_s=time.monotonic() - t0,
+    )
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Committed success rows: data filtered to run_ids present in
+    lineage (orphans from partially-failed runs are invisible)."""
+    data = spark.read.parquet(f"{out_dir}/turns")
+    lineage = read_lineage(spark, f"{out_dir}/lineage")
+    committed = lineage.select("run_id", "bucket").distinct()
+    return data.join(F.broadcast(committed), ["run_id", "bucket"], "left_semi")
