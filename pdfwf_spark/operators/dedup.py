@@ -1,0 +1,188 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (pdfwf never dedups its corpus) — these
+are the standard web-scale companions of an extraction pipeline, built
+Spark-first:
+
+- exact_dedup          hash-groupBy (one shuffle on a 16-byte key)
+- minhash_signatures   shingle -> k minhashes, map-side combinable
+- lsh_candidate_pairs  band-bucket self-join (bounds the quadratic
+                       blowup; the scale path for near-dup at 100 TB)
+- ngram_jaccard_pairs  exact Jaccard via shingle self-join — meant as
+                       the *verifier* applied to LSH candidates; on
+                       its own it explodes on hot shingles at scale
+- simhash              64->SIMHASH_BITS bitwise-majority fingerprint
+
+All hashing is md5-hex-substring based (not xxhash64) so a DuckDB
+oracle can reproduce signatures bit-for-bit (fixed-width lowercase hex
+compares lexicographically == numerically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 16
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) -> keeper (min id) + count.
+
+    One shuffle on the digest; partial aggregation combines map-side,
+    so at 100 TB the shuffle carries ~one row per distinct document.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _minhash_col(shingle: Column, seed: int) -> Column:
+    """One 32-bit-ish minhash lane: md5('<seed>#'||shingle)[:8]."""
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}#"), shingle)), 1, 8)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc k-lane minhash signature (columns sig_0..sig_{k-1}).
+
+    explode(shingles) -> groupBy(doc) with k min() aggregates: a single
+    shuffle keyed on the doc id, partial min() combining map-side.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [F.min(_minhash_col(F.col("sh"), i)).alias(f"sig_{i}") for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Docs sharing >=1 band bucket (banding: P(candidate) rises
+    sharply with Jaccard). Self-equi-join on (band, bucket) — the
+    shuffle key is the band hash, so only genuine candidates collide.
+    """
+    k = bands * rows_per_band
+    band_cols = []
+    for b in range(bands):
+        lanes = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *lanes)).alias("bucket"))
+        )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b_ = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact word-shingle Jaccard for all co-shingled pairs.
+
+    Scale note: use as the verifier stage after lsh_candidate_pairs
+    (join this against the candidate set); standalone it is quadratic
+    in hot-shingle frequency.
+    Output: id_a, id_b, jaccard_milli (int, round(1000*J) — integer so
+    the DuckDB oracle hash-matches without float drift).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard_milli",
+            F.round(
+                1000 * F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).cast("int"),
+        )
+        .filter(F.col("jaccard_milli") >= int(threshold * 1000))
+        .select("id_a", "id_b", "jaccard_milli")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SIMHASH_BITS-bit bitwise-majority fingerprint over tokens.
+
+    Token bit p = bit p of md5(token)'s leading hex; the fingerprint
+    sets bit p when the +1/-1 majority over tokens is positive.
+    explode -> groupBy(id): one shuffle, partial sums combine map-side.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    digest = F.md5(F.col("tok"))
+    contribs = []
+    for p in range(SIMHASH_BITS):
+        hex_pos = p // 4 + 1
+        bit_in_digit = 3 - (p % 4)
+        digit = F.conv(F.substring(digest, hex_pos, 1), 16, 10).cast("int")
+        bit = F.shiftright(digit, bit_in_digit).bitwiseAND(F.lit(1))
+        contribs.append(F.sum(bit * 2 - 1).alias(f"s_{p}"))
+    sums = tok.groupBy("id").agg(*contribs)
+    fp = None
+    for p in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col("id").alias(id_col), fp.cast("long").alias("simhash"))
