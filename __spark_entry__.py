@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship: full extraction pipeline over transcripts
+                    synthesized deterministically from sf0.001 tables.
+queries()         — one entry per implemented operator (SURVEY.md §2 +
+                    the training-data ops); each takes (spark, sf_dir).
+oracle_sql()      — DuckDB-equivalent ANSI SQL per query (omitted for
+                    parser-UDF / xxhash-based ops -> rows-only check).
+
+Column names are aliased identically on both sides; float-derived
+values are exported as integer milli/cents units so value hashes
+match across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +17,688 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+# --------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcripts of input_hint shape derived from the
+    driver's documents table: payload family cycles by doc_id (html
+    wrap / pdfish wrap / plain), convs of ~8 turns."""
+    docs = _t(spark, sf_dir, "documents")
+    body = F.col("text")
+    html_payload = F.concat(
+        F.lit('<html><head><title>doc</title></head><body><div class="nav">'
+              '<a href="/">home</a></div><article><p>'),
+        body,
+        F.lit("</p></article><footer>footer text</footer></body></html>"),
+    )
+    pdfish_payload = F.concat(
+        F.lit("%PDFISH1\nPAGE 1 612 792\nBLOCK 72 72 540 100 title|synthetic doc\n"
+              "BLOCK 72 120 540 700 text|"),
+        body,
+        F.lit("\nBLOCK 72 720 540 740 footer|page 1"),
+    )
+    fam = F.pmod(F.col("doc_id"), F.lit(3))
+    return docs.select(
+        F.concat(F.lit("conv-"), F.lpad((F.col("doc_id") % 50).cast("string"), 6, "0")).alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("role"),
+        F.when(fam == 0, html_payload)
+        .when(fam == 1, pdfish_payload)
+        .otherwise(F.concat(body, F.lit("\n\n\n\ntail paragraph here.")))
+        .alias("text"),
+        F.lit("").alias("tool"),
+        (F.lit("2025-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id") * 7)).alias("ts"),
+    )
+
+
+# --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sniff->route->parse + stable ordering on sf0.001."""
+    from pdfwf_spark.pipeline import extract_df
+
+    transcripts = _synth_transcripts(spark, "/root/testdata/sf0.001")
+    out = extract_df(transcripts, n_buckets=16, n_partitions=8)
+    return out.filter(F.col("parse_status") == "ok").select(
+        "conv_id", "turn_idx", "turn_rank", "parser", "clean_text", "meta", "spans"
+    )
+
+
+# --------------------------------------------------------------- queries
+
+def _q_w1_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — stable ordering window (SURVEY §2.5)."""
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_rank
+        FROM events
+        """
+    ).filter(F.col("turn_rank") <= 3)
+
+
+def _q_p1_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — checkpoint anti-join resume (SURVEY §2.2)."""
+    events = _t(spark, sf_dir, "events")
+    with_bucket = events.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(16)))
+    committed = (
+        with_bucket.filter(F.col("event_type") == "signup")
+        .select("bucket")
+        .distinct()
+    )
+    return (
+        with_bucket.join(F.broadcast(committed), "bucket", "left_anti")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pending"))
+    )
+
+
+def _q_p2_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — deterministic input limit (convert.py:260-265)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select("event_id", "event_type").orderBy("event_id").limit(100)
+
+
+def _q_p3_readability_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — drop unreadable inputs pre-parse (tensor_utils.py:292-312)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter((F.col("n_chars") >= 50) & F.col("text").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_readable"))
+    )
+
+
+def _q_f1_doi_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — DOI regex (pymupdf.py:36-39)."""
+    from pdfwf_spark.operators.functions import doi_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.withColumn(
+        "tagged", F.concat(F.lit("ref doi:10.5555/d"), F.col("doc_id"), F.lit(" tail"))
+    )
+    return tagged.select("doc_id", doi_extract(F.col("tagged")).alias("doi"))
+
+
+def _q_f2_blank_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — '\\n{3,}' -> '\\n\\n' (nougat_.py:250)."""
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.regexp_replace(F.col("text"), " the ", "\n\n\n\n")
+    cleaned = F.regexp_replace(
+        F.regexp_replace(noisy, r"\n{3,}", "\n\n"), r"^\s+|\s+$", ""
+    )
+    return docs.select("doc_id", cleaned.alias("cleaned"))
+
+
+def _q_f3_ws_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — '(\\n\\s*)+' -> '\\n' (tensor_utils.py:2399)."""
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.regexp_replace(F.col("text"), " (and|or) ", "\n \n\t\n")
+    return docs.select(
+        "doc_id", F.regexp_replace(noisy, r"(\n\s*)+", "\n").alias("cleaned")
+    )
+
+
+def _q_f4_abstract_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — abstract iff len > 580 (pymupdf.py:34,76-80)."""
+    from pdfwf_spark.operators.functions import abstract_or_empty
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        abstract_or_empty(F.col("text")).alias("abstract"),
+        (F.length("text") > 580).cast("int").alias("is_abstract"),
+    )
+
+
+def _q_f10_json_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/F10 — metadata field projection from JSON props."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_val")
+    )
+
+
+def _q_a1_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-group ordered concat (tensor_utils.py:2159-2291)."""
+    events = _t(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return events.groupBy("user_id").agg(
+        F.concat_ws(",", F.transform(ordered, lambda x: x["event_type"])).alias("journey")
+    )
+
+
+def _q_a2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — cumulative sum window (tensor_utils.py:316 cumsum)."""
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        FROM events
+        """
+    )
+
+
+def _q_a3_mode_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — robust mode estimation (tensor_utils.py:600-646)."""
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin, COUNT(*) AS n
+        FROM events
+        GROUP BY 1
+        HAVING COUNT(*) >= (SELECT COUNT(*) FROM events) * 0.02
+        """
+    )
+
+
+def _q_a4_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the reference's own throughput formula
+    (strong_scaling.ipynb cell 0: docs / (max end - min start))."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("wall_ms"),
+        F.round(
+            F.count(F.lit(1)) * 1_000_000 / (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+        ).cast("bigint").alias("per_sec_milli"),
+    )
+
+
+def _q_w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — top-k by score per group (max_det semantics)."""
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id, value, rnk FROM (
+          SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rnk
+          FROM events) WHERE rnk <= 3
+        """
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + running sum composition)."""
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN unix_millis(ts) - unix_millis(
+                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      ) > 1800000 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events)
+        """
+    )
+
+
+def _q_setop_signup_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — set difference (checkpoint set-minus semantics)."""
+    events = _t(spark, sf_dir, "events")
+    signed = events.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    errored = events.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return signed.exceptAll(errored).select("user_id")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfwf_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def _q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfwf_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, k=8)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfwf_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfwf_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.02)
+
+
+def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfwf_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(docs, k=8), bands=4, rows_per_band=2)
+
+
+def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfwf_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=5)
+
+
+def _q_emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfwf_spark.operators.similarity import _as_double, _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        _as_double(F.col("embedding")).alias("vec"),
+        _norm(_as_double(F.col("embedding"))).alias("nrm"),
+    )
+    l, r = v.alias("l"), v.alias("r")
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .withColumn(
+            "cos_milli",
+            F.round(
+                1000 * _dot(F.col("l.vec"), F.col("r.vec"))
+                / (F.col("l.nrm") * F.col("r.nrm"))
+            ).cast("int"),
+        )
+        .filter(F.col("cos_milli") >= 500)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cos_milli")
+    )
+
+
+def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (xxhash64 planes have no DuckDB equivalent)."""
+    from pdfwf_spark.operators.similarity import bucketed_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bucketed_neardup_pairs(emb, threshold_milli=500, n_planes=6)
+
+
+def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfwf_spark.operators.dedup import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfwf_spark.operators.textstats import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_quality_score(docs).select(
+        "doc_id", "n_tokens", "stopword_milli", "punct_milli", "quality_milli"
+    )
+
+
+def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfwf_spark.operators.textstats import with_lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang_pred")
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfwf_spark.operators.textstats import with_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def _q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only — the parser-UDF pipeline itself (golden-checked in
+    pytest instead; FIXTURES.md §3)."""
+    from pdfwf_spark.pipeline import extract_df
+
+    transcripts = _synth_transcripts(spark, sf_dir)
+    out = extract_df(transcripts, n_buckets=16)
+    return out.select(
+        "conv_id", "turn_idx", "turn_rank", "parser", "parse_status",
+        F.length("clean_text").alias("n_out_chars"),
+    )
+
+
+def _q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only — multimodal binary plumbing (decode stubbed)."""
+    from pdfwf_spark.operators.multimodal import decode_media, make_fake_media
+
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "content": [
+                        make_fake_media(i, "image" if i % 2 == 0 else "audio")
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.select("doc_id").mapInPandas(build, "doc_id long, content binary")
+    return decode_media(media, fake=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "w1_turn_ordering": _q_w1_turn_ordering,
+        "p1_resume_anti_join": _q_p1_resume_anti_join,
+        "p2_limit": _q_p2_limit,
+        "p3_readability_filter": _q_p3_readability_filter,
+        "f1_doi_extract": _q_f1_doi_extract,
+        "f2_blank_collapse": _q_f2_blank_collapse,
+        "f3_ws_collapse": _q_f3_ws_collapse,
+        "f4_abstract_threshold": _q_f4_abstract_threshold,
+        "f10_json_meta": _q_f10_json_meta,
+        "a1_group_concat": _q_a1_group_concat,
+        "a2_running_sum": _q_a2_running_sum,
+        "a3_mode_histogram": _q_a3_mode_histogram,
+        "a4_throughput": _q_a4_throughput,
+        "w_topk_per_group": _q_w_topk_per_group,
+        "sessionize": _q_sessionize,
+        "setop_signup_no_error": _q_setop_signup_no_error,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_sig": _q_dedup_minhash_sig,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_neardup_exact": _q_emb_neardup_exact,
+        "emb_neardup_lsh": _q_emb_neardup_lsh,
+        "text_token_count": _q_text_token_count,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "extract_pipeline": _q_extract_pipeline,
+        "mm_media_meta": _q_mm_media_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracles
+
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+_SHINGLES = (
+    "SELECT doc_id, sh FROM ("
+    "  SELECT doc_id, unnest(list_distinct(list_transform("
+    "    range(1, greatest(len(t) - 1, 1)),"
+    "    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh"
+    f"  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)"
+    "  WHERE len(t) >= 3)"
+)
+
+_MINHASH_SIG_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"min(substr(md5('{i}#' || sh), 1, 8)) AS sig_{i}" for i in range(8)
+    )
+    + f" FROM ({_SHINGLES}) GROUP BY doc_id"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fp_weights = [pow(31, p, 1_000_000_007) for p in range(8)]
+    return {
+        "w1_turn_ordering": """
+            SELECT user_id, event_id, turn_rank FROM (
+              SELECT user_id, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_rank
+              FROM events) WHERE turn_rank <= 3
+        """,
+        "p1_resume_anti_join": """
+            SELECT user_id % 16 AS bucket, COUNT(*) AS n_pending
+            FROM events
+            WHERE user_id % 16 NOT IN (
+              SELECT DISTINCT user_id % 16 FROM events WHERE event_type = 'signup')
+            GROUP BY 1
+        """,
+        "p2_limit": """
+            SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 100
+        """,
+        "p3_readability_filter": """
+            SELECT lang, COUNT(*) AS n_readable
+            FROM documents WHERE n_chars >= 50 AND text IS NOT NULL
+            GROUP BY lang
+        """,
+        "f1_doi_extract": r"""
+            SELECT doc_id,
+                   regexp_extract('ref doi:10.5555/d' || doc_id || ' tail',
+                                  '(?:doi:\s*|doi\.org/)(\S+)', 1) AS doi
+            FROM documents
+        """,
+        "f2_blank_collapse": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, ' the ', chr(10)||chr(10)||chr(10)||chr(10), 'g'),
+                       '\n{3,}', chr(10)||chr(10), 'g'),
+                     '^\s+|\s+$', '', 'g') AS cleaned
+            FROM documents
+        """,
+        "f3_ws_collapse": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(text, ' (and|or) ', chr(10)||' '||chr(10)||chr(9)||chr(10), 'g'),
+                     '(\n\s*)+', chr(10), 'g') AS cleaned
+            FROM documents
+        """,
+        "f4_abstract_threshold": """
+            SELECT doc_id,
+                   CASE WHEN length(text) > 580 THEN text ELSE '' END AS abstract,
+                   CASE WHEN length(text) > 580 THEN 1 ELSE 0 END AS is_abstract
+            FROM documents
+        """,
+        "f10_json_meta": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+            FROM events
+        """,
+        "a1_group_concat": """
+            SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS journey
+            FROM events GROUP BY user_id
+        """,
+        "a2_running_sum": """
+            SELECT user_id, event_id,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+            FROM events
+        """,
+        "a3_mode_histogram": """
+            SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin, COUNT(*) AS n
+            FROM events GROUP BY 1
+            HAVING COUNT(*) >= (SELECT COUNT(*) FROM events) * 0.02
+        """,
+        "a4_throughput": """
+            SELECT event_type, COUNT(*) AS n,
+                   epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS wall_ms,
+                   CAST(ROUND(COUNT(*) * 1000000.0 / (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)))) AS BIGINT) AS per_sec_milli
+            FROM events GROUP BY event_type
+        """,
+        "w_topk_per_group": """
+            SELECT user_id, event_id, value, rnk FROM (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rnk
+              FROM events) t WHERE rnk <= 3
+        """,
+        "sessionize": """
+            SELECT user_id, event_id,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch_ms(ts) - epoch_ms(
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          ) > 1800000 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events) t
+        """,
+        "setop_signup_no_error": """
+            SELECT user_id FROM events WHERE event_type = 'signup'
+            EXCEPT ALL
+            SELECT user_id FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'error') e
+            -- note: EXCEPT ALL over DISTINCT inputs == EXCEPT over sets
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_sig": _MINHASH_SIG_SQL,
+        "dedup_simhash": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+              FROM documents
+            ),
+            bits AS (
+              SELECT doc_id, p,
+                     CASE WHEN SUM(
+                       (((strpos('0123456789abcdef', substr(md5(tok), p // 4 + 1, 1)) - 1)
+                         >> (3 - (p % 4))) & 1) * 2 - 1) > 0
+                     THEN (1::BIGINT << p) ELSE 0 END AS bit
+              FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS p) ps
+              WHERE tok <> ''
+              GROUP BY doc_id, p
+            )
+            SELECT doc_id, SUM(bit)::BIGINT AS simhash FROM bits GROUP BY doc_id
+        """,
+        "dedup_jaccard_pairs": f"""
+            WITH sh AS ({_SHINGLES}),
+            counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(ROUND(1000.0 * inter / (ca.n_sh + cb.n_sh - inter)) AS INT) AS jaccard_milli
+            FROM inter
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE CAST(ROUND(1000.0 * inter / (ca.n_sh + cb.n_sh - inter)) AS INT) >= 20
+        """,
+        "dedup_lsh_pairs": f"""
+            WITH sigs AS ({_MINHASH_SIG_SQL}),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(sig_0 || '|' || sig_1) AS bucket FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sigs)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "emb_cosine_topk": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec,
+                     sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+              FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                     CAST(ROUND(1000 * list_sum(list_transform(range(1, len(q.vec) + 1),
+                            i -> q.vec[i] * c.vec[i])) / (q.nrm * c.nrm)) AS INT) AS cos_milli
+              FROM v q JOIN v c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id < 5)
+            SELECT q_id, n_id, rnk AS rank, cos_milli FROM (
+              SELECT q_id, n_id, cos_milli,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos_milli DESC, n_id) AS rnk
+              FROM scored) t WHERE rnk <= 5
+        """,
+        "emb_neardup_exact": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec,
+                     sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+              FROM embeddings WHERE vec_id < 300)
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                   CAST(ROUND(1000 * list_sum(list_transform(range(1, len(l.vec) + 1),
+                          i -> l.vec[i] * r.vec[i])) / (l.nrm * r.nrm)) AS INT) AS cos_milli
+            FROM v l JOIN v r ON l.vec_id < r.vec_id
+            WHERE CAST(ROUND(1000 * list_sum(list_transform(range(1, len(l.vec) + 1),
+                    i -> l.vec[i] * r.vec[i])) / (l.nrm * r.nrm)) AS INT) >= 500
+        """,
+        "text_token_count": rf"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+                   length(text) AS n_chars_calc
+            FROM documents
+        """,
+        "text_quality": rf"""
+            WITH base AS (
+              SELECT doc_id, text, {_TOKS} AS t,
+                     length(text) AS nc,
+                     length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np
+              FROM documents),
+            feats AS (
+              SELECT doc_id, len(t) AS n_tokens,
+                     CAST(ROUND(1000.0 * len(list_filter(t,
+                        x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on'))) / len(t)) AS INT) AS stopword_milli,
+                     CAST(ROUND(1000.0 * np / greatest(nc, 1)) AS INT) AS punct_milli,
+                     CAST(ROUND(1000.0 * length(regexp_replace(text, '\s+', '', 'g')) / len(t)) AS INT) AS avg_token_len_milli
+              FROM base)
+            SELECT doc_id, n_tokens, stopword_milli, punct_milli,
+                   CAST(least(stopword_milli * 3, 400)
+                        + CASE WHEN avg_token_len_milli BETWEEN 3000 AND 9000 THEN 300 ELSE 0 END
+                        + greatest(0, 300 - punct_milli * 3) AS INT) AS quality_milli
+            FROM feats
+        """,
+        "text_langid": rf"""
+            WITH s AS (
+              SELECT doc_id,
+                     len(list_filter({_TOKS}, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
+                     len(list_filter({_TOKS}, x -> x IN ('el','la','de','que','y','los'))) AS s_es,
+                     len(list_filter({_TOKS}, x -> x IN ('le','la','les','des','et','un'))) AS s_fr
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                        WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                        WHEN s_fr > 0 THEN 'fr'
+                        ELSE 'und' END AS lang_pred
+            FROM s
+        """,
+        "text_fingerprint": rf"""
+            WITH tok AS (
+              SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ord
+              FROM (SELECT doc_id, {_TOKS} AS t FROM documents))
+            SELECT doc_id,
+                   SUM((('0x' || substr(md5(tok), 1, 4))::BIGINT
+                        * ([{", ".join(str(w) for w in fp_weights)}][((ord - 1) % 8) + 1]))
+                       % 1000000007) % 1000000007 AS fingerprint
+            FROM tok GROUP BY doc_id
+        """,
+    }

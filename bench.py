@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "turns": T, "turns_per_sec": R, "cpus": C}
+
+The primary metric mirrors the reference's own formula
+(examples/strong_scaling.ipynb cell 0: items / wall): end-to-end
+extraction turns/sec over a deterministic synthetic transcript table
+(HTML+PDF payload mix), plus per-query wall times for the operator
+suite. Timed actions use the noop writer (full execution, no sink
+cost). Transcript generation is NOT timed (it is test harness, not
+engine).
+
+Flags:
+  --extract-only     only the extraction benchmark (used by
+                     scaling_bench.py at two parallelism levels)
+  --convs N          override conversation count
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pdfwf_spark.session import build_session  # noqa: E402
+
+
+HEADLINE = [
+    "w1_turn_ordering",
+    "p1_resume_anti_join",
+    "a1_group_concat",
+    "a2_running_sum",
+    "a4_throughput",
+    "sessionize",
+    "w_topk_per_group",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_simhash",
+    "dedup_jaccard_pairs",
+    "dedup_lsh_pairs",
+    "emb_cosine_topk",
+    "emb_neardup_lsh",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "mm_media_meta",
+]
+
+
+def _noop_run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _transcripts_path(sf: float, n_convs: int, cpus: int) -> str:
+    return f"/tmp/pdfwf_bench/transcripts_sf{sf}_c{n_convs}"
+
+
+def ensure_transcripts(spark, sf: float, n_convs: int, cpus: int) -> str:
+    """Materialize the deterministic bench corpus once (untimed)."""
+    from pdfwf_spark.fixtures.gen_spark import spark_transcripts
+
+    path = _transcripts_path(sf, n_convs, cpus)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        df = spark_transcripts(
+            spark, n_convs=n_convs, seed=42, mega_every=200, mega_turns=2000,
+            n_partitions=max(cpus * 2, 8),
+        )
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_extraction(spark, sf: float, n_convs: int, cpus: int) -> dict:
+    from pdfwf_spark.pipeline import extract_df
+
+    path = ensure_transcripts(spark, sf, n_convs, cpus)
+    transcripts = spark.read.parquet(path)
+    n_turns = transcripts.count()
+
+    t0 = time.monotonic()
+    out = extract_df(
+        transcripts, n_buckets=256, n_partitions=max(cpus * 2, 8)
+    ).filter(F.col("parse_status") == "ok")
+    _noop_run(out)
+    dt = time.monotonic() - t0
+    return {"turns": n_turns, "extract_sec": dt, "turns_per_sec": n_turns / dt}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--convs", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_convs = args.convs or max(int(40000 * sf), 200)
+
+    spark = build_session(app_name="pdfwf_bench", master=f"local[{cpus}]")
+
+    queries_sec: dict[str, float] = {}
+    ext = bench_extraction(spark, sf, n_convs, cpus)
+    queries_sec["extract_pipeline"] = round(ext["extract_sec"], 3)
+
+    if not args.extract_only:
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            _noop_run(qs[name](spark, sf_dir))
+            queries_sec[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries_sec.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end extraction + operator-suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries_sec,
+                "sf": sf,
+                "cpus": cpus,
+                "turns": ext["turns"],
+                "turns_per_sec": round(ext["turns_per_sec"], 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
