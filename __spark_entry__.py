@@ -215,12 +215,16 @@ def _q_a4_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — the reference's own throughput formula
     (strong_scaling.ipynb cell 0: docs / (max end - min start))."""
     events = _t(spark, sf_dir, "events")
+    # parquet timestamps read as TIMESTAMP_NTZ; session TZ is pinned
+    # UTC so the cast matches DuckDB's naive epoch_ms
+    ms_max = F.unix_millis(F.max("ts").cast("timestamp"))
+    ms_min = F.unix_millis(F.min("ts").cast("timestamp"))
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("wall_ms"),
-        F.round(
-            F.count(F.lit(1)) * 1_000_000 / (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
-        ).cast("bigint").alias("per_sec_milli"),
+        (ms_max - ms_min).alias("wall_ms"),
+        F.round(F.count(F.lit(1)) * 1_000_000 / (ms_max - ms_min))
+        .cast("bigint")
+        .alias("per_sec_milli"),
     )
 
 
@@ -248,8 +252,8 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM (
           SELECT user_id, event_id, ts,
-                 CASE WHEN unix_millis(ts) - unix_millis(
-                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 CASE WHEN unix_millis(CAST(ts AS TIMESTAMP)) - unix_millis(
+                        CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)
                       ) > 1800000 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                       THEN 1 ELSE 0 END AS is_new
           FROM events)
@@ -257,12 +261,14 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_setop_signup_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 — set difference (checkpoint set-minus semantics)."""
+def _q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — set difference (checkpoint set-minus semantics,
+    convert.py:253-257): (user, type) pairs reaching value > 180 that
+    never reach value > 195."""
     events = _t(spark, sf_dir, "events")
-    signed = events.filter(F.col("event_type") == "signup").select("user_id").distinct()
-    errored = events.filter(F.col("event_type") == "error").select("user_id").distinct()
-    return signed.exceptAll(errored).select("user_id")
+    hi = events.filter(F.col("value") > 180).select("user_id", "event_type").distinct()
+    very_hi = events.filter(F.col("value") > 195).select("user_id", "event_type").distinct()
+    return hi.subtract(very_hi)
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,7 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_throughput": _q_a4_throughput,
         "w_topk_per_group": _q_w_topk_per_group,
         "sessionize": _q_sessionize,
-        "setop_signup_no_error": _q_setop_signup_no_error,
+        "setop_except": _q_setop_except,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sig": _q_dedup_minhash_sig,
         "dedup_simhash": _q_dedup_simhash,
@@ -566,12 +572,10 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS is_new
               FROM events) t
         """,
-        "setop_signup_no_error": """
-            SELECT user_id FROM events WHERE event_type = 'signup'
-            EXCEPT ALL
-            SELECT user_id FROM (
-              SELECT DISTINCT user_id FROM events WHERE event_type = 'error') e
-            -- note: EXCEPT ALL over DISTINCT inputs == EXCEPT over sets
+        "setop_except": """
+            SELECT DISTINCT user_id, event_type FROM events WHERE value > 180
+            EXCEPT
+            SELECT DISTINCT user_id, event_type FROM events WHERE value > 195
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
