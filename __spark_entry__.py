@@ -96,7 +96,7 @@ def _q_p1_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     with_bucket = events.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(16)))
     committed = (
-        with_bucket.filter(F.col("event_type") == "signup")
+        with_bucket.filter((F.col("event_type") == "signup") & (F.col("value") > 197))
         .select("bucket")
         .distinct()
     )
@@ -333,7 +333,7 @@ def _q_emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("l.nrm") * F.col("r.nrm"))
             ).cast("int"),
         )
-        .filter(F.col("cos_milli") >= 500)
+        .filter(F.col("cos_milli") >= 300)
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cos_milli")
     )
 
@@ -488,7 +488,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id % 16 AS bucket, COUNT(*) AS n_pending
             FROM events
             WHERE user_id % 16 NOT IN (
-              SELECT DISTINCT user_id % 16 FROM events WHERE event_type = 'signup')
+              SELECT DISTINCT user_id % 16 FROM events
+              WHERE event_type = 'signup' AND value > 197)
             GROUP BY 1
         """,
         "p2_limit": """
@@ -654,7 +655,7 @@ def oracle_sql() -> dict[str, str]:
                           i -> l.vec[i] * r.vec[i])) / (l.nrm * r.nrm)) AS INT) AS cos_milli
             FROM v l JOIN v r ON l.vec_id < r.vec_id
             WHERE CAST(ROUND(1000 * list_sum(list_transform(range(1, len(l.vec) + 1),
-                    i -> l.vec[i] * r.vec[i])) / (l.nrm * r.nrm)) AS INT) >= 500
+                    i -> l.vec[i] * r.vec[i])) / (l.nrm * r.nrm)) AS INT) >= 300
         """,
         "text_token_count": rf"""
             SELECT doc_id,

@@ -31,9 +31,15 @@ def tokens(text_col: Column) -> Column:
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
-def word_shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>."""
-    toks = tokens(text_col)
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column.
+
+    `toks` must be a bound column (e.g. via .withColumn), not an
+    inline `split(...)` expression: expressions referenced inside a
+    higher-order-function lambda are re-evaluated per element, which
+    turns shingling into O(len^2) per row (observed 40x slowdown).
+    """
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,
@@ -43,6 +49,16 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
     )
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def exploded_shingles(
+    docs: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh) rows of distinct word n-gram shingles per doc."""
+    return (
+        docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("id", F.explode(word_shingles(F.col("_toks"), n)).alias("sh"))
     )
 
 
@@ -78,11 +94,9 @@ def minhash_signatures(
     explode(shingles) -> groupBy(doc) with k min() aggregates: a single
     shuffle keyed on the doc id, partial min() combining map-side.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
+    sh = exploded_shingles(docs, text_col, id_col, shingle_n)
     aggs = [F.min(_minhash_col(F.col("sh"), i)).alias(f"sig_{i}") for i in range(k)]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy("id").agg(*aggs).withColumnRenamed("id", id_col)
 
 
 def lsh_candidate_pairs(
@@ -135,10 +149,7 @@ def ngram_jaccard_pairs(
     Output: id_a, id_b, jaccard_milli (int, round(1000*J) — integer so
     the DuckDB oracle hash-matches without float drift).
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    sh = exploded_shingles(docs, text_col, id_col, shingle_n)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -1,0 +1,134 @@
+"""Behavioral tests for the training-data operators (dedup,
+similarity, text stats, multimodal plumbing) on small crafted data."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today"),    # near dup
+        (3, "completely different content about spark shuffles"),
+        (4, "el perro y el gato de la casa que los ve"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from pdfwf_spark.operators.dedup import exact_dedup
+
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2          # doc 1 collapsed into doc 0
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    from pdfwf_spark.operators.dedup import minhash_signatures
+
+    sigs = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(8))
+            for r in minhash_signatures(docs, k=8).collect()}
+    assert sigs[0] == sigs[1]                        # identical docs
+    shared = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert shared >= 2                               # near dups share lanes
+    assert sigs[0] != sigs[3]
+
+
+def test_lsh_pairs_find_duplicates(docs):
+    from pdfwf_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(docs, k=8)).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_jaccard_pairs(docs):
+    from pdfwf_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = {(r["id_a"], r["id_b"]): r["jaccard_milli"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert out[(0, 1)] == 1000                       # identical
+    assert 200 <= out.get((0, 2), 0) < 1000          # near dup
+    assert (0, 3) not in out
+
+
+def test_simhash_similarity(docs):
+    from pdfwf_spark.operators.dedup import simhash
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fp[0] == fp[1]
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[3]).count("1")
+    assert ham_near <= ham_far
+
+
+def test_cosine_topk_self_similarity(spark):
+    from pdfwf_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),    # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert ranked[0]["n_id"] == 1 and ranked[0]["cos_milli"] >= 990
+    assert len(ranked) == 2
+
+
+def test_bucketed_neardup(spark):
+    from pdfwf_spark.operators.similarity import bucketed_neardup_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             bucketed_neardup_pairs(emb, threshold_milli=950, n_planes=4).collect()}
+    assert (0, 1) in pairs          # same bucket (identical direction)
+    assert (0, 2) not in pairs      # opposite direction
+
+
+def test_textstats(docs):
+    from pdfwf_spark.operators.textstats import with_fingerprint, with_lang_id, with_quality_score
+
+    q = {r["doc_id"]: r for r in with_quality_score(docs).collect()}
+    assert q[0]["n_tokens"] == 9
+    assert q[0]["stopword_milli"] == round(1000 * 2 / 9)  # 'the' x2
+    langs = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(docs).collect()}
+    assert langs[0] == "en" and langs[4] == "es"
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(docs).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+def test_multimodal_plumbing(spark):
+    from pdfwf_spark.operators.multimodal import decode_media, make_fake_media
+
+    rows = [(i, make_fake_media(i, "image" if i % 2 == 0 else "audio")) for i in range(20)]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in decode_media(media, fake=True).collect()}
+    assert out[0]["media_type"] == "image" and out[0]["width"] == 4
+    assert out[1]["media_type"] == "audio" and out[1]["sample_rate"] == 8000
+    assert all(out[i]["n_bytes"] > 15 for i in range(20))
+
+
+def test_multimodal_real_decode_stubbed(spark):
+    from pdfwf_spark.operators.multimodal import decode_media, make_fake_media
+
+    media = spark.createDataFrame(
+        [(0, make_fake_media(0, "image"))], "doc_id long, content binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        decode_media(media, fake=False).collect()
