@@ -32,22 +32,22 @@ def tokens(text_col: Column) -> Column:
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a MATERIALIZED token-array
-    column.
+    """Distinct word n-gram shingles as array<string>.
 
-    `toks` must be a bound column (e.g. via .withColumn), not an
-    inline `split(...)` expression: expressions referenced inside a
-    higher-order-function lambda are re-evaluated per element, which
-    turns shingling into O(len^2) per row (observed 40x slowdown).
+    Built from n array `slice`s folded with `zip_with` — NOT
+    element_at(toks, i) inside a transform lambda: Catalyst's
+    CollapseProject inlines the underlying split() into every lambda
+    reference, turning per-index gathers into O(len^2) work per row
+    (observed 20-40x slowdown). With slices, the token expression is
+    evaluated at most n times per row regardless of inlining.
     """
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    n_sh = F.size(toks) - (n - 1)
+    safe_len = F.greatest(n_sh, F.lit(0))
+    grams = F.slice(toks, 1, safe_len)
+    for j in range(1, n):
+        nxt = F.slice(toks, j + 1, safe_len)
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(n_sh > 0, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -56,9 +56,9 @@ def exploded_shingles(
     docs: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
     """(id, sh) rows of distinct word n-gram shingles per doc."""
-    return (
-        docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
-        .select("id", F.explode(word_shingles(F.col("_toks"), n)).alias("sh"))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("sh"),
     )
 
 
