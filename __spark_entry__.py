@@ -350,6 +350,8 @@ def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfwf_spark.operators.dedup import tokens
 
     docs = _t(spark, sf_dir, "documents")
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+    docs = repartition_for_scan(docs)
     return docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).alias("n_tokens"),
@@ -361,6 +363,8 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfwf_spark.operators.textstats import with_quality_score
 
     docs = _t(spark, sf_dir, "documents")
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+    docs = repartition_for_scan(docs)
     return with_quality_score(docs).select(
         "doc_id", "n_tokens", "stopword_milli", "punct_milli", "quality_milli"
     )
@@ -370,6 +374,8 @@ def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfwf_spark.operators.textstats import with_lang_id
 
     docs = _t(spark, sf_dir, "documents")
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+    docs = repartition_for_scan(docs)
     return with_lang_id(docs).select("doc_id", "lang_pred")
 
 
@@ -377,6 +383,8 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfwf_spark.operators.textstats import with_fingerprint
 
     docs = _t(spark, sf_dir, "documents")
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+    docs = repartition_for_scan(docs)
     return with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
@@ -400,6 +408,8 @@ def _q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = _t(spark, sf_dir, "documents")
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+    docs = repartition_for_scan(docs)
 
     def build(batches):
         for pdf in batches:
@@ -469,7 +479,8 @@ _SHINGLES = (
 _MINHASH_SIG_SQL = (
     "SELECT doc_id, "
     + ", ".join(
-        f"min(substr(md5('{i}#' || sh), 1, 8)) AS sig_{i}" for i in range(8)
+        f"min(('0x' || substr(md5('{i}#' || sh), 1, 8))::BIGINT) AS sig_{i}"
+        for i in range(8)
     )
     + f" FROM ({_SHINGLES}) GROUP BY doc_id"
 )
@@ -617,13 +628,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": f"""
             WITH sigs AS ({_MINHASH_SIG_SQL}),
             bands AS (
-              SELECT doc_id, 0 AS band, md5(sig_0 || '|' || sig_1) AS bucket FROM sigs
+              SELECT doc_id, 0 AS band,
+                     md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS bucket FROM sigs
               UNION ALL
-              SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+              SELECT doc_id, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sigs
               UNION ALL
-              SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+              SELECT doc_id, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs
               UNION ALL
-              SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sigs)
+              SELECT doc_id, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs)
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id

@@ -83,20 +83,37 @@ def ensure_transcripts(spark, sf: float, n_convs: int, cpus: int) -> str:
     return path
 
 
-def bench_extraction(spark, sf: float, n_convs: int, cpus: int) -> dict:
+def bench_extraction(spark, sf: float, n_convs: int, cpus: int, reps: int = 3) -> dict:
+    """Warm-start protocol, mirroring the reference's measurement: the
+    reference warm-starts parsers once per worker (~120-145s model
+    init, BASELINE.md) and its throughput formula counts only
+    steady-state tasks (strong_scaling.ipynb cell 0). Here one untimed
+    full pass warms the Python worker pool + JIT; the reported number
+    is the median of `reps` timed full runs."""
     from pdfwf_spark.pipeline import extract_df
 
     path = ensure_transcripts(spark, sf, n_convs, cpus)
     transcripts = spark.read.parquet(path)
     n_turns = transcripts.count()
 
-    t0 = time.monotonic()
     out = extract_df(
         transcripts, n_buckets=256, n_partitions=max(cpus * 2, 8)
     ).filter(F.col("parse_status") == "ok")
-    _noop_run(out)
-    dt = time.monotonic() - t0
-    return {"turns": n_turns, "extract_sec": dt, "turns_per_sec": n_turns / dt}
+    _noop_run(out)  # warm-up (worker pool spawn = reference model-init analog)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        _noop_run(out)
+        times.append(time.monotonic() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+    return {
+        "turns": n_turns,
+        "extract_sec": dt,
+        "extract_runs": [round(t, 2) for t in times],
+        "turns_per_sec": n_turns / dt,
+    }
 
 
 def main() -> None:
@@ -113,7 +130,8 @@ def main() -> None:
     spark = build_session(app_name="pdfwf_bench", master=f"local[{cpus}]")
 
     queries_sec: dict[str, float] = {}
-    ext = bench_extraction(spark, sf, n_convs, cpus)
+    ext = bench_extraction(spark, sf, n_convs, cpus,
+                           reps=int(os.environ.get("BENCH_REPS", "3")))
     queries_sec["extract_pipeline"] = round(ext["extract_sec"], 3)
 
     if not args.extract_only:

@@ -56,7 +56,9 @@ def exploded_shingles(
     docs: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
     """(id, sh) rows of distinct word n-gram shingles per doc."""
-    return docs.select(
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
+    return repartition_for_scan(docs).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("sh"),
     )
@@ -78,8 +80,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _minhash_col(shingle: Column, seed: int) -> Column:
-    """One 32-bit-ish minhash lane: md5('<seed>#'||shingle)[:8]."""
-    return F.substring(F.md5(F.concat(F.lit(f"{seed}#"), shingle)), 1, 8)
+    """One 32-bit minhash lane: md5('<seed>#'||shingle)[:8] as BIGINT.
+
+    Integer (not hex-string) lanes so the groupBy min() keeps a fixed-
+    width agg buffer -> HashAggregate + whole-stage codegen instead of
+    a SortAggregate over strings. Same ordering (fixed-width hex vs
+    its numeric value), DuckDB mirror: ('0x'||substr(md5(..),1,8))::BIGINT.
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}#"), shingle)), 1, 8), 16, 10
+    ).cast("long")
 
 
 def minhash_signatures(
@@ -180,7 +190,9 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     sets bit p when the +1/-1 majority over tokens is positive.
     explode -> groupBy(id): one shuffle, partial sums combine map-side.
     """
-    tok = docs.select(
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
+    tok = repartition_for_scan(docs).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     digest = F.md5(F.col("tok"))

@@ -22,6 +22,23 @@ DEFAULT_BUCKETS = 64
 DEFAULT_SALTS = 16
 
 
+def repartition_for_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Guarantee scan-side parallelism for compute-heavy narrow
+    stages (shingling, hashing, UDFs).
+
+    A single small parquet file scans as ONE partition, so everything
+    upstream of the first exchange runs on one core (observed: a 2M-
+    md5 partial aggregate pinned to a single thread). At cluster scale
+    inputs already have many splits and this is a no-op; locally it
+    fans the scan out to defaultParallelism.
+    """
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     """Deterministic commit/resume bucket from conv_id."""
     return df.withColumn(

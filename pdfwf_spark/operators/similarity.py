@@ -51,7 +51,9 @@ def cosine_topk(
     Output: q_id, n_id, rank, cos_milli. Ties after rounding break on
     n_id ascending so the result is total-order deterministic.
     """
-    corpus = with_unit_norm(emb, vec_col).select(
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
+    corpus = with_unit_norm(repartition_for_scan(emb), vec_col).select(
         F.col(id_col).alias("n_id"), "_vec", F.col("_norm").alias("_n_norm")
     )
     qs = with_unit_norm(queries, vec_col).select(
@@ -122,7 +124,9 @@ def bucketed_neardup_pairs(
     across bucket boundaries are the standard LSH recall trade-off
     (raise recall with multiple tables at scale).
     """
-    b = hyperplane_buckets(emb, n_planes, id_col, vec_col)
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
+    b = hyperplane_buckets(repartition_for_scan(emb), n_planes, id_col, vec_col)
     nb = with_unit_norm(b, vec_col).select(
         F.col(id_col).alias("id"), "bucket", "_vec", "_norm"
     )

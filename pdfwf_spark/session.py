@@ -19,7 +19,7 @@ def build_session(
     app_name: str = "pdfwf_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 2048,
+    arrow_batch_rows: int = 8192,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[{}]".format(

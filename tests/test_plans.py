@@ -1,0 +1,81 @@
+"""Physical-plan shape assertions — the 100 TB design contract
+(SURVEY §4): shuffle count, broadcast choices, parquet pushdown.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdfwf_spark.fixtures.gen import gen_transcripts
+from pdfwf_spark.pipeline import extract_df
+from pdfwf_spark.schemas import TRANSCRIPT_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    rows = [
+        {k: v for k, v in r.items() if not k.startswith("_")}
+        for r in gen_transcripts(10, seed=1, mega_every=0)
+    ]
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extraction_has_exactly_two_shuffles(transcripts):
+    """One exchange for the salted repartition (before the UDF), one
+    for the per-conv ordering window (after). Anything more would be
+    an accidental extra shuffle of payload bytes."""
+    plan = _plan(extract_df(transcripts, n_buckets=16, n_partitions=4))
+    n_exchanges = plan.count("Exchange ") + plan.count("Exchange\n")
+    assert plan.count("hashpartitioning") >= 1
+    assert n_exchanges == 2, plan
+
+
+def test_extraction_udf_is_arrow_batched(transcripts):
+    plan = _plan(extract_df(transcripts, n_buckets=16, n_partitions=4))
+    assert "MapInPandas" in plan
+
+
+def test_output_read_prunes_partitions(spark, transcripts, tmp_path):
+    """bucket is the physical partition column of the sink: a bucket
+    filter must become a PartitionFilter (no data files of other
+    buckets touched) — the resume fast path at 10^12 rows."""
+    from pdfwf_spark.pipeline import run_extraction
+
+    out = str(tmp_path / "out")
+    run_extraction(spark, transcripts, out, n_buckets=8, n_partitions=4)
+    read = spark.read.parquet(f"{out}/turns").filter(F.col("bucket") == 3)
+    plan = _plan(read)
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split("PartitionFilters:")[1][:80]
+
+
+def test_scan_projection_pruning(spark):
+    """Column pruning reaches the parquet scan: a 2-column projection
+    must not read the full documents schema."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(docs.select("doc_id", F.length("text").alias("n")))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from pdfwf_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from pdfwf_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    assert plan.count("Exchange") <= 2  # AQE may show shuffle read wrappers
+    assert "partial" in plan.lower() or "HashAggregate" in plan  # map-side combine
