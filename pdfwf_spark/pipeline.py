@@ -51,19 +51,49 @@ class RunResult:
     elapsed_s: float
 
 
+def _stage_inputs(
+    transcripts: DataFrame,
+    n_buckets: int,
+    n_partitions: int,
+    n_salts: int,
+    prepartition: str,
+) -> DataFrame:
+    """Bucket + (conditionally) salt-repartition + stable intra-
+    partition sort.
+
+    prepartition:
+    - "auto" (default): shuffle only when the scan has fewer
+      partitions than the target. Parquet/Iceberg splits already
+      spread turns arbitrarily across tasks (row groups do not follow
+      conv boundaries) and extraction is per-row, so a well-split scan
+      needs NO payload shuffle before the UDF — at 10^12 turns that
+      skips a full-corpus shuffle; the only wide exchange left is the
+      ordering window over the (smaller) post-extraction rows.
+    - "always": force the salted repartition — for inputs whose file
+      layout is conv-clustered/skewed (e.g. one giant file per
+      mega-conversation) where scan splits alone would be unbalanced.
+    - "never": trust the scan layout unconditionally.
+    """
+    staged = with_bucket(transcripts, n_buckets)
+    if prepartition == "always" or (
+        prepartition == "auto" and staged.rdd.getNumPartitions() < n_partitions
+    ):
+        staged = salted_repartition(staged, n_partitions, n_salts)
+    return sort_for_extraction(staged)
+
+
 def extract_df(
     transcripts: DataFrame,
     n_buckets: int = DEFAULT_BUCKETS,
     n_partitions: int | None = None,
     n_salts: int = DEFAULT_SALTS,
+    prepartition: str = "auto",
 ) -> DataFrame:
     """Pure transform: transcripts -> ranked extraction output (all
     statuses). Composable; no I/O."""
     spark = transcripts.sparkSession
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
-    staged = sort_for_extraction(
-        salted_repartition(with_bucket(transcripts, n_buckets), n_partitions, n_salts)
-    )
+    staged = _stage_inputs(transcripts, n_buckets, n_partitions, n_salts, prepartition)
     return with_turn_rank(extract_turns(staged))
 
 
@@ -76,6 +106,7 @@ def run_extraction(
     n_partitions: int | None = None,
     n_salts: int = DEFAULT_SALTS,
     resume: bool = True,
+    prepartition: str = "auto",
 ) -> RunResult:
     """Execute the job against `out_dir` (data at {out_dir}/turns,
     lineage at {out_dir}/lineage)."""
@@ -89,14 +120,20 @@ def run_extraction(
         inputs = filter_uncommitted(inputs, read_lineage(spark, lineage_path))
 
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
-    staged = sort_for_extraction(salted_repartition(inputs, n_partitions, n_salts))
-    extracted = extract_turns(staged)
+    if prepartition == "always" or (
+        prepartition == "auto" and inputs.rdd.getNumPartitions() < n_partitions
+    ):
+        inputs = salted_repartition(inputs, n_partitions, n_salts)
+    extracted = extract_turns(sort_for_extraction(inputs))
 
     # One pass over the UDF output feeds both the data write and the
     # lineage aggregate; persist avoids re-running extraction.
     extracted = extracted.persist()
     try:
-        ranked = with_turn_rank(successes(extracted)).withColumn(
+        # rank over ALL turns (failures occupy ranks too) so a turn's
+        # rank is stable regardless of neighboring failures — matches
+        # extract_df and the golden generator
+        ranked = successes(with_turn_rank(extracted)).withColumn(
             "run_id", F.lit(run_id)
         )
         append_data(ranked, data_path)

@@ -39,10 +39,9 @@ def main() -> None:
     # which is what the efficiency ratio is supposed to measure.
     n = int(os.environ.get("SCALING_N", "8"))
     convs = int(os.environ.get("SCALING_CONVS", "48000"))
-    # warm the shared transcript cache (generation excluded from timing
-    # either way, but this keeps both runs symmetric)
-    run_at(4 * n, convs)
-
+    # each run_at warms internally (untimed full pass) and reports the
+    # median of BENCH_REPS timed passes; the transcript parquet cache
+    # is shared between the two subprocesses
     small = run_at(n, convs)
     large = run_at(4 * n, convs)
     thr_n = small["turns_per_sec"]

@@ -26,14 +26,24 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_extraction_has_exactly_two_shuffles(transcripts):
-    """One exchange for the salted repartition (before the UDF), one
-    for the per-conv ordering window (after). Anything more would be
-    an accidental extra shuffle of payload bytes."""
-    plan = _plan(extract_df(transcripts, n_buckets=16, n_partitions=4))
-    n_exchanges = plan.count("Exchange ") + plan.count("Exchange\n")
-    assert plan.count("hashpartitioning") >= 1
-    assert n_exchanges == 2, plan
+def test_extraction_shuffle_budget(transcripts):
+    """prepartition='always': exactly two exchanges (salted
+    repartition before the UDF + ordering window after).
+    prepartition='auto' on an already-well-split scan: exactly ONE
+    (the window) — payload bytes never shuffle."""
+    forced = _plan(
+        extract_df(transcripts, n_buckets=16, n_partitions=4, prepartition="always")
+    )
+    assert forced.count("Exchange ") + forced.count("Exchange\n") == 2, forced
+
+    auto = _plan(
+        extract_df(transcripts.repartition(8), n_buckets=16, n_partitions=4)
+    )
+    # the .repartition(8) above is part of building the fixture (its
+    # exchange sits below the scan); the extraction itself must add
+    # only the window exchange on top of it
+    assert auto.count("Exchange ") + auto.count("Exchange\n") == 2, auto
+    assert "MapInPandas" in auto
 
 
 def test_extraction_udf_is_arrow_batched(transcripts):
