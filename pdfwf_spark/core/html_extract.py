@@ -123,11 +123,20 @@ def extract_html(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[st
 
     spans are (start, end, label) char offsets into the ORIGINAL
     payload covering each kept block's raw text region.
+
+    Per-token state is tracked with incremental depth counters
+    (suppress/a/title depth + a stack of decisive markers) instead of
+    re-scanning the element stack per text run — O(1) per token; this
+    loop is the engine's hottest Python path (45% of the payload mix).
     """
     stack: list[_Frame] = []
     blocks: list[_Block] = []
     current: _Block | None = None
     title_parts: list[str] = []
+    suppress_depth = 0
+    a_depth = 0
+    title_depth = 0
+    marker_stack: list[int] = []  # decisive markers only, innermost last
 
     def flush() -> None:
         nonlocal current
@@ -135,12 +144,42 @@ def extract_html(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[st
             blocks.append(current)
         current = None
 
+    def pop_frame(frame: _Frame) -> None:
+        nonlocal suppress_depth, a_depth, title_depth
+        if frame.tag in SUPPRESS_TAGS:
+            suppress_depth -= 1
+        if frame.tag == "a":
+            a_depth -= 1
+        if frame.tag == "title":
+            title_depth -= 1
+        if frame.marker != 0:
+            marker_stack.pop()
+
     for m in TOKEN_RE.finditer(payload):
         tok = m.group(0)
-        if tok.startswith("<!--") or not tok:
+        if not tok:
             continue
-        low2 = tok[:8].lower()
-        if low2.startswith("<script") or low2.startswith("<style"):
+        if tok[0] != "<":
+            # text run — the common case
+            if not tok.strip():
+                continue
+            if suppress_depth:
+                if title_depth:
+                    title_parts.append(squeeze_spaces(_htmllib.unescape(tok)).strip())
+                continue
+            text = _htmllib.unescape(tok)
+            if current is None:
+                current = _Block(
+                    start=m.start(), end=m.end(), parts=[], total_chars=0,
+                    link_chars=0,
+                    marker=marker_stack[-1] if marker_stack else 0,
+                )
+            current.end = m.end()
+            current.parts.append(text)
+            n = len(text.strip())
+            current.total_chars += n
+            if a_depth:
+                current.link_chars += n
             continue
         close_tag, open_tag = m.group(1), m.group(2)
         if close_tag is not None:
@@ -150,6 +189,8 @@ def extract_html(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[st
             # tolerant pop: unwind to the matching open tag if present
             for i in range(len(stack) - 1, -1, -1):
                 if stack[i].tag == tag:
+                    for f in stack[i:]:
+                        pop_frame(f)
                     del stack[i:]
                     break
         elif open_tag is not None:
@@ -170,30 +211,17 @@ def extract_html(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[st
                     # ("cookie-banner" -> cookie, banner)
                     toks.extend(re.split(r"[-_]", c))
                 classes = tuple(toks)
-            stack.append(_Frame(tag, classes, _frame_marker(tag, classes)))
-        elif tok.startswith("<"):
-            continue  # doctype/declaration or stray '<'
-        else:
-            # text run
-            if not tok.strip():
-                continue
-            tags_on_stack = [f.tag for f in stack]
-            if any(t in SUPPRESS_TAGS for t in tags_on_stack):
-                if "title" in tags_on_stack:
-                    title_parts.append(squeeze_spaces(_htmllib.unescape(tok)).strip())
-                continue
-            text = _htmllib.unescape(tok)
-            if current is None:
-                current = _Block(
-                    start=m.start(), end=m.end(), parts=[], total_chars=0,
-                    link_chars=0, marker=_nearest_marker(stack),
-                )
-            current.end = m.end()
-            current.parts.append(text)
-            n = len(text.strip())
-            current.total_chars += n
-            if "a" in tags_on_stack:
-                current.link_chars += n
+            marker = _frame_marker(tag, classes)
+            stack.append(_Frame(tag, classes, marker))
+            if tag in SUPPRESS_TAGS:
+                suppress_depth += 1
+            if tag == "a":
+                a_depth += 1
+            if tag == "title":
+                title_depth += 1
+            if marker != 0:
+                marker_stack.append(marker)
+        # else: comment / script / style island / doctype / stray '<'
     flush()
 
     kept: list[_Block] = []
