@@ -155,6 +155,7 @@ def main() -> None:
                 "cpus": cpus,
                 "turns": ext["turns"],
                 "turns_per_sec": round(ext["turns_per_sec"], 1),
+                "extract_runs_sec": ext["extract_runs"],
             }
         )
     )
