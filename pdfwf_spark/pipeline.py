@@ -1,13 +1,14 @@
 """End-to-end extraction job (SURVEY §3.1 Spark lifecycle).
 
-    scan -> anti-join lineage (resume) -> salted repartition ->
-    sortWithinPartitions -> mapInPandas(sniff -> route -> parse) ->
-    stable ordering window -> write data, then lineage
+    scan -> anti-join lineage (resume) -> [salted repartition, only if
+    the scan layout needs it] -> mapInPandas(sniff -> route -> parse)
+    -> stable ordering window -> write data, then lineage
 
 Plan properties (asserted in tests via .explain):
 - the resume anti-join is a BroadcastHashJoin (lineage side is tiny);
-- exactly ONE wide shuffle before the UDF (the salted repartition) and
-  ONE after (the per-conv ordering window, which moves the smaller
+- AT MOST one wide shuffle before the UDF (the salted repartition,
+  skipped when scan splits already balance the work) and exactly one
+  after (the per-conv ordering window, which moves the smaller
   post-extraction rows);
 - no driver-side loops, no collect.
 
@@ -57,6 +58,7 @@ def _stage_inputs(
     n_partitions: int,
     n_salts: int,
     prepartition: str,
+    stable_sort: bool = False,
 ) -> DataFrame:
     """Bucket + (conditionally) salt-repartition + stable intra-
     partition sort.
@@ -79,7 +81,9 @@ def _stage_inputs(
         prepartition == "auto" and staged.rdd.getNumPartitions() < n_partitions
     ):
         staged = salted_repartition(staged, n_partitions, n_salts)
-    return sort_for_extraction(staged)
+    if stable_sort:
+        staged = sort_for_extraction(staged)
+    return staged
 
 
 def extract_df(
@@ -88,12 +92,15 @@ def extract_df(
     n_partitions: int | None = None,
     n_salts: int = DEFAULT_SALTS,
     prepartition: str = "auto",
+    stable_sort: bool = False,
 ) -> DataFrame:
     """Pure transform: transcripts -> ranked extraction output (all
     statuses). Composable; no I/O."""
     spark = transcripts.sparkSession
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
-    staged = _stage_inputs(transcripts, n_buckets, n_partitions, n_salts, prepartition)
+    staged = _stage_inputs(
+        transcripts, n_buckets, n_partitions, n_salts, prepartition, stable_sort
+    )
     return with_turn_rank(extract_turns(staged))
 
 
@@ -124,7 +131,7 @@ def run_extraction(
         prepartition == "auto" and inputs.rdd.getNumPartitions() < n_partitions
     ):
         inputs = salted_repartition(inputs, n_partitions, n_salts)
-    extracted = extract_turns(sort_for_extraction(inputs))
+    extracted = extract_turns(inputs)
 
     # One pass over the UDF output feeds both the data write and the
     # lineage aggregate; persist avoids re-running extraction.
