@@ -32,9 +32,20 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def run_at(cpus: int, convs: int, reps: int) -> dict:
+    """One measurement subprocess, PINNED to exactly `cpus` cores.
+
+    Pinning (taskset) is what makes the two levels comparable on one
+    box: an unpinned local[N] run on a 4N-core host gets its JVM-side
+    work (shuffle write, Arrow encode, window sort, GC) "for free" on
+    the idle cores, inflating thr(N) — a real N-core executor pays
+    that overhead inside its N cores. Measured here: unpinned local[8]
+    read 2535 turns/s/core vs 1486 at local[32] purely from this
+    artifact.
+    """
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_REPS=str(reps))
     out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "bench.py"), "--extract-only",
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, os.path.join(HERE, "bench.py"), "--extract-only",
          "--convs", str(convs)],
         env=env, capture_output=True, text=True, check=True,
     )
