@@ -56,7 +56,11 @@ def run_at(cpus: int, convs: int, reps: int) -> dict:
 def main() -> None:
     # ~1M turns (avg ~21 turns/conv incl. mega-convs): large enough
     # that UDF compute dominates fixed per-job overhead at local[N].
-    n = int(os.environ.get("SCALING_N", "8"))
+    # default N=4 (4 vs 16 cores): measured pure-CPU scaling ceiling of
+    # this VM is ~0.74 at 8->32 (host throttles past ~16 busy cores),
+    # so 8->32 cannot evidence engine scaling; 4->16 has a clean
+    # hardware ceiling. See BENCH.md "Measurement-methodology findings".
+    n = int(os.environ.get("SCALING_N", "4"))
     convs = int(os.environ.get("SCALING_CONVS", "48000"))
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     reps = int(os.environ.get("BENCH_REPS", "1"))
