@@ -306,6 +306,15 @@ def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(minhash_signatures(docs, k=8), bands=4, rows_per_band=2)
 
 
+def _q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup composition: LSH candidates -> exact
+    Jaccard verification on candidates only (scale path)."""
+    from pdfwf_spark.operators.dedup import lsh_verified_neardups
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_verified_neardups(docs, threshold=0.01)
+
+
 def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfwf_spark.operators.similarity import cosine_topk
 
@@ -451,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_lsh_verified": _q_dedup_lsh_verified,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_neardup_exact": _q_emb_neardup_exact,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
@@ -639,6 +649,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "dedup_lsh_verified": f"""
+            WITH sigs AS ({_MINHASH_SIG_SQL}),
+            bands AS (
+              SELECT doc_id, 0 AS band,
+                     md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS bucket FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            sh AS ({_SHINGLES}),
+            counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS inter
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+              GROUP BY c.id_a, c.id_b)
+            SELECT id_a, id_b,
+                   CAST(ROUND(1000.0 * inter / (ca.n_sh + cb.n_sh - inter)) AS INT) AS jaccard_milli
+            FROM inter
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE CAST(ROUND(1000.0 * inter / (ca.n_sh + cb.n_sh - inter)) AS INT) >= 10
         """,
         "emb_cosine_topk": """
             WITH v AS (

@@ -209,3 +209,53 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         term = F.when(F.col(f"s_{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return sums.select(F.col("id").alias(id_col), fp.cast("long").alias("simhash"))
+
+
+def lsh_verified_neardups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """The production near-dup pipeline: MinHash-LSH candidate
+    generation -> exact Jaccard verification ON CANDIDATES ONLY.
+
+    This is the composition that scales to 100 TB: the quadratic
+    shingle self-join of ngram_jaccard_pairs never touches the full
+    corpus — exact Jaccard is computed only for pairs that collide in
+    an LSH band (equi-joins all the way; every aggregate combines
+    map-side).
+
+    Output: id_a, id_b, jaccard_milli (int).
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, k, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sh = exploded_shingles(docs, text_col, id_col, shingle_n)
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # intersection size per candidate pair: attach a-side shingles,
+    # equi-match them against b-side shingles on (id_b, sh)
+    a_sh = cands.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+    b_sh = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a_sh.join(b_sh, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard_milli",
+            F.round(
+                1000 * F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).cast("int"),
+        )
+        .filter(F.col("jaccard_milli") >= int(threshold * 1000))
+        .select("id_a", "id_b", "jaccard_milli")
+    )
