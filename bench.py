@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_jaccard_pairs",
     "dedup_lsh_pairs",
+    "dedup_lsh_verified",
     "emb_cosine_topk",
     "emb_neardup_lsh",
     "text_quality",
