@@ -271,6 +271,55 @@ def _q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hi.subtract(very_hi)
 
 
+def _q_a_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent in the reference, SURVEY §2.4
+    note) + approximate variant for the 100 TB path (approx value is
+    engine-specific, so only the exact column is oracle-compared —
+    the approx column is exported as a bounded error check)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        # HLL estimate must land within 10% of truth -> boolean is
+        # stable across engines even though the raw estimate is not
+        (
+            (F.approx_count_distinct("user_id", 0.02) - F.countDistinct("user_id"))
+            / F.countDistinct("user_id")
+        ).between(-0.1, 0.1).cast("int").alias("approx_within_10pct"),
+    )
+
+
+def _q_a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup (absent in the reference, SURVEY §2.4):
+    event counts by (event_type, value-band) with subtotals."""
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(FLOOR(value / 100) AS BIGINT), -1) AS band,
+               COUNT(*) AS n, GROUPING(event_type) AS g_type,
+               GROUPING(CAST(FLOOR(value / 100) AS BIGINT)) AS g_band
+        FROM events
+        GROUP BY ROLLUP(event_type, CAST(FLOOR(value / 100) AS BIGINT))
+        """
+    )
+
+
+def _q_j3_stem_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — derived-key equi-join (reference: md-file <-> pdf-file
+    pairing by filename stem, convert_markdown_to_jsonl.py:61-66).
+    Analog: pair documents to events by a derived shared key."""
+    docs = _t(spark, sf_dir, "documents")
+    events = _t(spark, sf_dir, "events")
+    doc_keys = docs.select(
+        F.col("doc_id"),
+        F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int").alias("stem"),
+    )
+    ev_keys = events.groupBy(F.pmod(F.col("user_id"), F.lit(4)).alias("stem")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return doc_keys.join(ev_keys, "stem").select("doc_id", "stem", "n_events")
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfwf_spark.operators.dedup import exact_dedup
 
@@ -455,6 +504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_topk_per_group": _q_w_topk_per_group,
         "sessionize": _q_sessionize,
         "setop_except": _q_setop_except,
+        "a_distinct": _q_a_distinct,
+        "a_rollup": _q_a_rollup,
+        "j3_stem_pair_join": _q_j3_stem_pair_join,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sig": _q_dedup_minhash_sig,
         "dedup_simhash": _q_dedup_simhash,
@@ -598,6 +650,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id, event_type FROM events WHERE value > 180
             EXCEPT
             SELECT DISTINCT user_id, event_type FROM events WHERE value > 195
+        """,
+        "a_distinct": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                   CASE WHEN abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+                             <= 0.1 * COUNT(DISTINCT user_id)
+                        THEN 1 ELSE 0 END AS approx_within_10pct
+            FROM events GROUP BY event_type
+        """,
+        "a_rollup": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(CAST(FLOOR(value / 100) AS BIGINT), -1) AS band,
+                   COUNT(*) AS n, GROUPING(event_type) AS g_type,
+                   GROUPING(CAST(FLOOR(value / 100) AS BIGINT)) AS g_band
+            FROM events
+            GROUP BY ROLLUP(event_type, CAST(FLOOR(value / 100) AS BIGINT))
+        """,
+        "j3_stem_pair_join": r"""
+            SELECT d.doc_id, CAST(regexp_extract(d.source, 'src(\d+)', 1) AS INT) AS stem,
+                   e.n_events
+            FROM documents d
+            JOIN (SELECT user_id % 4 AS stem, COUNT(*) AS n_events
+                  FROM events GROUP BY 1) e
+              ON e.stem = CAST(regexp_extract(d.source, 'src(\d+)', 1) AS INT)
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -41,8 +41,10 @@ def _norm_cell(v):
 
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort by repr: NULLs (None) mixed with values are not orderable
+    # with plain tuple comparison (rollup subtotal rows)
     return sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows), key=repr
     )
 
 
