@@ -277,14 +277,21 @@ def _q_a_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific, so only the exact column is oracle-compared —
     the approx column is exported as a bounded error check)."""
     events = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    # countDistinct computed ONCE and reused (each occurrence in an agg
+    # expands to its own distinct aggregate path otherwise)
+    agged = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
-        # HLL estimate must land within 10% of truth -> boolean is
-        # stable across engines even though the raw estimate is not
-        (
-            (F.approx_count_distinct("user_id", 0.02) - F.countDistinct("user_id"))
-            / F.countDistinct("user_id")
-        ).between(-0.1, 0.1).cast("int").alias("approx_within_10pct"),
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+    )
+    # HLL estimate must land within 10% of truth -> boolean is
+    # stable across engines even though the raw estimate is not
+    return agged.select(
+        "event_type",
+        "n_users",
+        ((F.col("_approx") - F.col("n_users")) / F.col("n_users"))
+        .between(-0.1, 0.1)
+        .cast("int")
+        .alias("approx_within_10pct"),
     )
 
 
@@ -373,27 +380,13 @@ def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdfwf_spark.operators.similarity import _as_double, _dot, _norm
+    """O(n^2) oracle baseline — hard-guarded inside exact_neardup_pairs
+    so it can never run against a full corpus (production path:
+    bucketed_neardup_pairs)."""
+    from pdfwf_spark.operators.similarity import exact_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    v = emb.select(
-        F.col("vec_id").alias("id"),
-        _as_double(F.col("embedding")).alias("vec"),
-        _norm(_as_double(F.col("embedding"))).alias("nrm"),
-    )
-    l, r = v.alias("l"), v.alias("r")
-    return (
-        l.join(r, F.col("l.id") < F.col("r.id"))
-        .withColumn(
-            "cos_milli",
-            F.round(
-                1000 * _dot(F.col("l.vec"), F.col("r.vec"))
-                / (F.col("l.nrm") * F.col("r.nrm"))
-            ).cast("int"),
-        )
-        .filter(F.col("cos_milli") >= 300)
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cos_milli")
-    )
+    return exact_neardup_pairs(emb, threshold_milli=300)
 
 
 def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,14 +398,16 @@ def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdfwf_spark.operators.dedup import tokens
+    # textstats.token_count maps blank/whitespace-only text to 0
+    # (split('') -> [''] would otherwise count 1), matching the oracle.
+    from pdfwf_spark.operators.textstats import token_count
 
     docs = _t(spark, sf_dir, "documents")
     from pdfwf_spark.operators.partitioning import repartition_for_scan
     docs = repartition_for_scan(docs)
     return docs.select(
         "doc_id",
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        token_count(F.col("text")).alias("n_tokens"),
         F.length("text").alias("n_chars_calc"),
     )
 
@@ -611,9 +606,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a2_running_sum": """
             SELECT user_id, event_id,
-                   SUM(CAST(ROUND(value * 100) AS BIGINT))
+                   (SUM(CAST(ROUND(value * 100) AS BIGINT))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS run_cents
             FROM events
         """,
         "a3_mode_histogram": """
@@ -636,8 +631,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
             SELECT user_id, event_id,
-                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   (SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
             FROM (
               SELECT user_id, event_id, ts,
                      CASE WHEN epoch_ms(ts) - epoch_ms(
@@ -828,9 +823,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ord
               FROM (SELECT doc_id, {_TOKS} AS t FROM documents))
             SELECT doc_id,
-                   SUM((('0x' || substr(md5(tok), 1, 4))::BIGINT
+                   (SUM((('0x' || substr(md5(tok), 1, 4))::BIGINT
                         * ([{", ".join(str(w) for w in fp_weights)}][((ord - 1) % 8) + 1]))
-                       % 1000000007) % 1000000007 AS fingerprint
+                       % 1000000007) % 1000000007)::BIGINT AS fingerprint
             FROM tok GROUP BY doc_id
         """,
     }

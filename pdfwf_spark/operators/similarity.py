@@ -78,6 +78,49 @@ def cosine_topk(
     )
 
 
+MAX_EXACT_NEARDUP_ROWS = 2000
+
+
+def exact_neardup_pairs(
+    emb: DataFrame,
+    threshold_milli: int = 950,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = MAX_EXACT_NEARDUP_ROWS,
+) -> DataFrame:
+    """All-pairs cosine near-dup — the ORACLE BASELINE, O(n^2).
+
+    Hard-guarded: refuses inputs above `max_rows` so the quadratic
+    theta-join can never be pointed at a full corpus by accident. The
+    production path is bucketed_neardup_pairs (LSH equi-join).
+    """
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"exact_neardup_pairs is an O(n^2) baseline guarded at "
+            f"{max_rows} rows; got {n}. Use bucketed_neardup_pairs for "
+            f"corpus-scale near-dup."
+        )
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        _norm(_as_double(F.col(vec_col))).alias("nrm"),
+    )
+    l, r = v.alias("l"), v.alias("r")
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .withColumn(
+            "cos_milli",
+            F.round(
+                1000 * _dot(F.col("l.vec"), F.col("r.vec"))
+                / (F.col("l.nrm") * F.col("r.nrm"))
+            ).cast("int"),
+        )
+        .filter(F.col("cos_milli") >= threshold_milli)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cos_milli")
+    )
+
+
 def hyperplane_buckets(
     emb: DataFrame,
     n_planes: int = 8,
