@@ -2,9 +2,9 @@
 
 Runs the SAME extraction core (pdfwf_spark.core) over fixture rows in
 plain Python, with the SAME total ordering key the Spark window uses
-(turn_idx, ts, role, tie_key=md5(text NUL tool)) — so per-turn text
-equality is well-defined (SURVEY §7 risk register: one normalization
-code path for both sides).
+(turn_idx, ts, role, tie_key=md5 of length-prefixed text/tool) — so
+per-turn text equality is well-defined (SURVEY §7 risk register: one
+normalization code path for both sides).
 """
 
 from __future__ import annotations
@@ -16,8 +16,12 @@ from pdfwf_spark.core.route import extract_payload
 
 
 def tie_key(text: str, tool: str) -> str:
+    """Pure-Python twin of operators.extract.tie_key_col: md5 of the
+    length-prefixed concatenation (unambiguous under NUL/':' payloads;
+    len() counts code points, matching Spark length())."""
+    t, u = text or "", tool or ""
     return hashlib.md5(
-        ((text or "") + "\x00" + (tool or "")).encode("utf-8", "surrogatepass")
+        f"{len(t)}:{t}{len(u)}:{u}".encode("utf-8", "surrogatepass")
     ).hexdigest()
 
 

@@ -22,16 +22,35 @@ state machines (pdfwf_spark.core).
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pdfwf_spark.core.route import extract_payload
 from pdfwf_spark.schemas import EXTRACTED_SCHEMA
+
+
+def tie_key_col(text: str = "text", tool: str = "tool") -> Column:
+    """Deterministic total-order tiebreak, computed JVM-side.
+
+    md5 over the length-prefixed concatenation
+    ``{len(text)}:{text}{len(tool)}:{tool}`` — unambiguous even when
+    payloads contain NUL/':' (plain concat with a separator is not:
+    ('a\\x00','b') vs ('a','\\x00b')). length() counts code points in
+    both Spark and Python, so fixtures/golden.tie_key reproduces this
+    hash exactly in pure Python.
+    """
+    t = F.coalesce(F.col(text), F.lit(""))
+    u = F.coalesce(F.col(tool), F.lit(""))
+    return F.md5(
+        F.concat(
+            F.length(t).cast("string"), F.lit(":"), t,
+            F.length(u).cast("string"), F.lit(":"), u,
+        )
+    )
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -50,12 +69,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         meta: list[dict] = [{} for _ in range(n)]
         bytes_in = [0] * n
         bytes_out = [0] * n
-        tie_key = [""] * n
         for i in range(n):
             res = extract_payload(texts[i], tools[i])
-            tie_key[i] = hashlib.md5(
-                (texts[i] + "\x00" + tools[i]).encode("utf-8", "surrogatepass")
-            ).hexdigest()
             parser[i] = res.parser
             status[i] = res.status
             reason[i] = res.reason
@@ -83,7 +98,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "bytes_in": bytes_in,
                 "bytes_out": bytes_out,
                 "bucket": pdf["bucket"].values,
-                "tie_key": tie_key,
+                # computed JVM-side pre-UDF (tie_key_col); pass-through
+                "tie_key": pdf["tie_key"].values,
             }
         )
 
@@ -96,7 +112,8 @@ def extract_turns(transcripts: DataFrame) -> DataFrame:
     can aggregate per bucket without re-hashing.
     """
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "bucket"]
-    return transcripts.select(*cols).mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
+    staged = transcripts.select(*cols).withColumn("tie_key", tie_key_col())
+    return staged.mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
 
 
 def successes(extracted: DataFrame) -> DataFrame:

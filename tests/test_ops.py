@@ -132,3 +132,26 @@ def test_multimodal_real_decode_stubbed(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         decode_media(media, fake=False).collect()
+
+
+def test_tie_key_jvm_matches_golden_and_disambiguates(spark):
+    """tie_key is computed JVM-side (F.md5 over a length-prefixed
+    encoding); golden.tie_key must reproduce it byte-for-byte, and
+    NUL-shifted payload pairs must get DIFFERENT keys."""
+    from pdfwf_spark.fixtures.golden import tie_key
+    from pdfwf_spark.operators.extract import tie_key_col
+
+    rows = [
+        ("a\x00", "b"),
+        ("a", "\x00b"),          # NUL-shifted twin of the row above
+        ("", ""),
+        (None, None),            # nulls coalesce to ''
+        ("5:x", "7:y"),          # payloads containing the separator
+        ("héllo wörld", ""),
+        ("emoji \U0001F600 astral", "t"),   # astral char: len==1 both sides
+    ]
+    df = spark.createDataFrame(rows, "text string, tool string")
+    got = [r["k"] for r in df.select(tie_key_col().alias("k")).collect()]
+    want = [tie_key(t or "", u or "") for t, u in rows]
+    assert got == want
+    assert got[0] != got[1]      # NUL ambiguity is resolved
