@@ -173,6 +173,40 @@ def _q_f10_json_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_p6_meta_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — full 9-key metadata projection (pymupdf.py:83-93) over a
+    header-bearing payload synthesized from documents."""
+    from pdfwf_spark.operators.functions import project_meta9
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("Title: doc "), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.lit("Authors: author-"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit("\nCreated: 2025-01-15\nKeywords: "), F.col("lang"),
+        F.lit("\nProducer: engine-v2\nSubject: "), F.col("text"),
+        F.lit("\nSee doi:10.5555/p"), F.col("doc_id").cast("string"),
+        F.lit(" here.\n\n\n\n"), F.col("text"),
+    )
+    return docs.select(F.col("doc_id"), *project_meta9(payload))
+
+
+def _q_f7_markdown_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — markdown_compatible repair pass (nougat_.py:124,245-246)
+    on crafted markdown-noisy payloads."""
+    from pdfwf_spark.operators.functions import markdown_compatible_col
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("#Intro "), F.col("doc_id").cast("string"),
+        F.lit("\n(1.2) \\[E=mc^2\\]\nsee https://ex.org/d"),
+        F.col("doc_id").cast("string"),
+        F.lit(" then \\bm{x} end\\. "), F.col("text"),
+    )
+    return docs.select(
+        "doc_id", markdown_compatible_col(payload).alias("md_text")
+    )
+
+
 def _q_a1_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — per-group ordered concat (tensor_utils.py:2159-2291)."""
     events = _t(spark, sf_dir, "events")
@@ -492,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_ws_collapse": _q_f3_ws_collapse,
         "f4_abstract_threshold": _q_f4_abstract_threshold,
         "f10_json_meta": _q_f10_json_meta,
+        "p6_meta_projection": _q_p6_meta_projection,
+        "f7_markdown_compat": _q_f7_markdown_compat,
         "a1_group_concat": _q_a1_group_concat,
         "a2_running_sum": _q_a2_running_sum,
         "a3_mode_histogram": _q_a3_mode_histogram,
@@ -599,6 +635,57 @@ def oracle_sql() -> dict[str, str]:
         "f10_json_meta": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
             FROM events
+        """,
+        "p6_meta_projection": r"""
+            WITH p AS (
+              SELECT doc_id, lang, text,
+                     'Title: doc ' || doc_id || chr(10) ||
+                     'Authors: author-' || (doc_id % 7) || chr(10) ||
+                     'Created: 2025-01-15' || chr(10) ||
+                     'Keywords: ' || lang || chr(10) ||
+                     'Producer: engine-v2' || chr(10) ||
+                     'Subject: ' || text || chr(10) ||
+                     'See doi:10.5555/p' || doc_id || ' here.' ||
+                     chr(10) || chr(10) || chr(10) || chr(10) || text AS payload
+              FROM documents),
+            c AS (
+              SELECT doc_id, payload,
+                     trim(regexp_replace(payload, '\n{3,}', chr(10)||chr(10), 'g')) AS clean,
+                     trim(regexp_extract(payload, '(?m)^Subject:[ \t]*(.*)$', 1)) AS subject
+              FROM p)
+            SELECT doc_id,
+                   trim(regexp_extract(payload, '(?m)^Title:[ \t]*(.*)$', 1)) AS title,
+                   trim(regexp_extract(payload, '(?m)^Authors?:[ \t]*(.*)$', 1)) AS authors,
+                   trim(regexp_extract(payload, '(?m)^(?:Creation-Date|Created|Date):[ \t]*(.*)$', 1)) AS creationdate,
+                   trim(regexp_extract(payload, '(?m)^Keywords:[ \t]*(.*)$', 1)) AS keywords,
+                   regexp_extract(payload, '(?:doi:\s*|doi\.org/)(\S+)', 1) AS doi,
+                   trim(regexp_extract(payload, '(?m)^Producer:[ \t]*(.*)$', 1)) AS producer,
+                   'plain' AS format,
+                   string_split(clean, chr(10)||chr(10))[1] AS first_page,
+                   CASE WHEN length(subject) > 580 THEN subject ELSE '' END AS abstract
+            FROM c
+        """,
+        "f7_markdown_compat": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     replace(replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(payload,
+                             '(?m)^(#{1,6})([^#\s])', '\1 \2', 'g'),
+                           '(?m)^\(([0-9][0-9.]*[A-Za-z]?)\) \\\[(.+)\\\]$',
+                           '\\[\2 \\tag{\1}\\]', 'g'),
+                         '(?m)^\\\[(.+)\\\] \(([0-9][0-9.]*[A-Za-z]?)\)$',
+                         '\\[\1 \\tag{\2}\\]', 'g'),
+                       '\bm{', '\mathbf{'), '\. ', '. '),
+                     '(?m)(^|[\s(])(https?://[^\s<>)\]"'']+)', '\1[\2](\2)', 'g') AS md_text
+            FROM (
+              SELECT doc_id,
+                     '#Intro ' || doc_id || chr(10) ||
+                     '(1.2) \[E=mc^2\]' || chr(10) ||
+                     'see https://ex.org/d' || doc_id ||
+                     ' then \bm{x} end\. ' || text AS payload
+              FROM documents)
         """,
         "a1_group_concat": """
             SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS journey

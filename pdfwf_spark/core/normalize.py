@@ -57,3 +57,30 @@ def abstract_or_empty(subject: str) -> str:
 def squeeze_spaces(text: str) -> str:
     """Collapse horizontal whitespace runs to single spaces."""
     return SPACE_RUN_RE.sub(" ", text)
+
+
+# F7 — markdown_compatible. Reference: pdfwf/parsers/nougat_.py:124,
+# 245-246 runs nougat's markdown postprocessing over each page when
+# config.markdown is set. Deterministic re-expression of its repair
+# shapes (all patterns RE2-safe so the Spark/DuckDB twins match):
+#   1. heading repair:  '#Title'            -> '# Title'
+#   2. equation tags:   '(1.2) \[E\]'       -> '\[E \tag{1.2}\]'
+#                       '\[E\] (1.2)'       -> '\[E \tag{1.2}\]'
+#   3. macro repair:    '\bm{'              -> '\mathbf{'
+#   4. escape repair:   '\. '               -> '. '
+#   5. URL autolink:    bare http(s) URL    -> '[url](url)'
+MD_HEADING_RE = re.compile(r"(?m)^(#{1,6})([^#\s])")
+MD_TAG_LEAD_RE = re.compile(r"(?m)^\(([0-9][0-9.]*[A-Za-z]?)\) \\\[(.+)\\\]$")
+MD_TAG_TRAIL_RE = re.compile(r"(?m)^\\\[(.+)\\\] \(([0-9][0-9.]*[A-Za-z]?)\)$")
+MD_URL_RE = re.compile(r"(?m)(^|[\s(])(https?://[^\s<>)\]\"']+)")
+
+
+def markdown_compatible(text: str) -> str:
+    """Normalize text into valid-markdown shape (nougat_.py:124 analog)."""
+    s = MD_HEADING_RE.sub(r"\1 \2", text)
+    s = MD_TAG_LEAD_RE.sub(r"\\[\2 \\tag{\1}\\]", s)
+    s = MD_TAG_TRAIL_RE.sub(r"\\[\1 \\tag{\2}\\]", s)
+    s = s.replace("\\bm{", "\\mathbf{")
+    s = s.replace("\\. ", ". ")
+    s = MD_URL_RE.sub(r"\1[\2](\2)", s)
+    return s

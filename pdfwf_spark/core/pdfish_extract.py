@@ -40,21 +40,32 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+from pdfwf_spark.core.latex import LatexError, latex_to_text
 from pdfwf_spark.core.normalize import collapse_ws_runs
 
 MAGIC = "%PDFISH1"
 
 PAGE_RE = re.compile(r"^PAGE\s+(\d+)(?:\s+[-\d.]+\s+[-\d.]+)?\s*$")
+# optional confidence token between the bbox and the class (P5: the
+# reference thresholds on conf BEFORE NMS, tensor_utils.py:402-466);
+# absent -> 1.0, keeping conf-less payloads byte-identical.
 BLOCK_RE = re.compile(
     r"^BLOCK\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+"
-    r"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+([a-z_]+)\|(.*)$"
+    r"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+(?:(0?\.\d+|1(?:\.0+)?)\s+)?"
+    r"([a-z_]+)\|(.*)$"
 )
 
 BODY_CLASSES = frozenset({"text"})
 META_CLASSES = frozenset({"title", "abstract", "author", "date", "institution", "keywords"})
-EXCLUDED_CLASSES = frozenset({"header", "footer", "footnote", "table", "figure", "equation"})
+# 'equation' is a meta-like category stored RAW with ' '-join
+# (tensor_utils.py:2405-2408: Equations/Table/Figure are ' '.join'd
+# without LaTeX conversion); other categories get '\n'-join ->
+# latex_to_text -> whitespace collapse (tensor_utils.py:2410-2415).
+EQUATION_CLASSES = frozenset({"equation"})
+EXCLUDED_CLASSES = frozenset({"header", "footer", "footnote", "table", "figure"})
 
 IOU_THRESHOLD = 0.5
+CONF_THRESHOLD = 0.6  # tensor_utils.py:402-466 conf_thres default
 COLUMN_GRID = 50.0
 MODE_MIN_FREQ = 0.25
 
@@ -76,6 +87,7 @@ class _Block:
     text_start: int   # offset of text portion in original payload
     text_end: int
     seq: int          # arrival order (NMS tiebreak)
+    conf: float = 1.0  # detection confidence (P5); 1.0 when absent
 
     @property
     def area(self) -> float:
@@ -96,9 +108,11 @@ def _iou(a: _Block, b: _Block) -> float:
 
 
 def _nms(blocks: list[_Block]) -> list[_Block]:
-    """Greedy overlap dedup: keep larger area; earlier on tie.
-    tensor_utils.py:38-178 semantics without confidences."""
-    order = sorted(blocks, key=lambda b: (-b.area, b.seq))
+    """Greedy overlap dedup (tensor_utils.py:38-178): candidates
+    ranked by confidence desc (the reference's score sort), then area
+    desc, then arrival order — conf-less payloads (all conf=1.0)
+    reduce to the area/arrival ranking."""
+    order = sorted(blocks, key=lambda b: (-b.conf, -b.area, b.seq))
     kept: list[_Block] = []
     for cand in order:
         if all(_iou(cand, k) <= IOU_THRESHOLD for k in kept):
@@ -161,19 +175,25 @@ def extract_pdfish(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[
         if bm:
             if cur_page is None:
                 raise ParseFailure("BLOCK before any PAGE")
-            text = bm.group(6)
-            text_start = line_start + bm.start(6)
+            conf = float(bm.group(5)) if bm.group(5) is not None else 1.0
+            seq += 1
+            if conf < CONF_THRESHOLD:
+                # P5: confidence thresholding happens BEFORE NMS
+                # (tensor_utils.py:402-466); seq still advances so
+                # arrival order is unaffected by drops
+                continue
+            text = bm.group(7)
+            text_start = line_start + bm.start(7)
             pages[cur_page].append(
                 _Block(
                     page=cur_page,
                     x0=float(bm.group(1)), y0=float(bm.group(2)),
                     x1=float(bm.group(3)), y1=float(bm.group(4)),
-                    cls=bm.group(5), text=text,
+                    cls=bm.group(6), text=text,
                     text_start=text_start, text_end=text_start + len(text),
-                    seq=seq,
+                    seq=seq - 1, conf=conf,
                 )
             )
-            seq += 1
             continue
         # Unparseable non-empty line: the page it falls on fails
         # (per-page failure isolation, oreo.py:256-262 skip semantics).
@@ -187,15 +207,19 @@ def extract_pdfish(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[
     page_texts: list[str] = []
     spans: list[tuple[int, int, str]] = []
     meta_parts: dict[str, list[str]] = {}
+    equation_parts: list[str] = []
     for page_no in sorted(pages):
         if page_no in failed_pages:
             page_texts.append(f"[MISSING_PAGE_FAIL:{page_no}]")
             continue
         blocks = _nms(pages[page_no])
         body = [b for b in blocks if b.cls in BODY_CLASSES]
-        metas = [b for b in blocks if b.cls in META_CLASSES]
+        metas = [b for b in blocks if b.cls in META_CLASSES or b.cls in EQUATION_CLASSES]
         for b in sorted(metas, key=lambda b: (b.y0, b.x0, b.seq)):
-            meta_parts.setdefault(b.cls, []).append(b.text.strip())
+            if b.cls in EQUATION_CLASSES:
+                equation_parts.append(b.text.strip())
+            else:
+                meta_parts.setdefault(b.cls, []).append(b.text.strip())
             spans.append((b.text_start, b.text_end, b.cls))
         if not body:
             page_texts.append(f"[MISSING_PAGE_EMPTY:{page_no}]")
@@ -206,7 +230,25 @@ def extract_pdfish(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[
             spans.append((b.text_start, b.text_end, "text"))
         page_texts.append("\n".join(b.text for b in ordered))
 
-    clean_text = collapse_ws_runs("\n".join(page_texts)).strip()
-    meta = {k: " ".join(v).strip() for k, v in meta_parts.items() if any(v)}
+    # body: join -> latex_to_text -> collapse (tensor_utils.py:2410-2415
+    # order); a LaTeX failure on the body drops the document's text ->
+    # ParseFailure (the reference's doc would lose its 'text' key).
+    try:
+        body_text = latex_to_text("\n".join(page_texts))
+    except LatexError as exc:
+        raise ParseFailure(f"latex: {exc}") from exc
+    clean_text = collapse_ws_runs(body_text).strip()
+
+    meta: dict[str, str] = {}
+    for k, v in meta_parts.items():
+        if not any(v):
+            continue
+        try:
+            meta[k] = collapse_ws_runs(latex_to_text("\n".join(v))).strip()
+        except LatexError:
+            continue  # failure -> key dropped (tensor_utils.py:2414-2417)
+    if any(equation_parts):
+        # Equations stored raw with ' '-join (tensor_utils.py:2405-2408)
+        meta["equations"] = " ".join(equation_parts).strip()
     spans.sort(key=lambda s: (s[0], s[1]))
     return clean_text, spans, meta

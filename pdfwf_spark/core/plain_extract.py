@@ -6,6 +6,13 @@ Mirrors (file:line into /root/reference):
 - abstract >580-char threshold  <- pymupdf.py:34,76-80 (the reference
   reads the PDF 'subject' metadata field; our transcript analog is a
   'Subject: ...' line in the payload)
+- 9-key metadata record         <- pymupdf.py:83-93 / pypdf.py:100-110:
+  title, authors, creationdate, keywords, doi, producer, format,
+  first_page, abstract — ALWAYS present, '' when absent (the reference
+  assembles out_meta with ''-defaulting .get()s). Transcript analogs
+  of the PDF metadata dict are RFC822-ish header lines; first_page
+  (reference: text of page one, pymupdf.py:64-66) is the first
+  blank-line-delimited segment of the normalized payload.
 """
 
 from __future__ import annotations
@@ -16,20 +23,41 @@ from pdfwf_spark.core.normalize import abstract_or_empty, collapse_blank_runs, e
 
 SUBJECT_RE = re.compile(r"^Subject:[ \t]*(.*)$", re.M)
 
+# Header-line analogs of the PDF metadata dict fields (pymupdf.py:68-82)
+HEADER_RES = {
+    "title": re.compile(r"^Title:[ \t]*(.*)$", re.M),
+    "authors": re.compile(r"^Authors?:[ \t]*(.*)$", re.M),
+    "creationdate": re.compile(r"^(?:Creation-Date|Created|Date):[ \t]*(.*)$", re.M),
+    "keywords": re.compile(r"^Keywords:[ \t]*(.*)$", re.M),
+    "producer": re.compile(r"^Producer:[ \t]*(.*)$", re.M),
+}
+
+PLAIN_FORMAT = "plain"  # the reference's doc.metadata['format'] analog
+
+
+def _header(payload: str, key: str) -> str:
+    m = HEADER_RES[key].search(payload)
+    return m.group(1).strip() if m else ""
+
 
 def extract_plain(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[str, str]]:
     """Normalize a plain-text payload. Returns (clean_text, spans, meta)."""
     clean_text = collapse_blank_runs(payload)
 
-    meta: dict[str, str] = {}
-    doi = extract_doi(payload)
-    if doi:
-        meta["doi"] = doi
     sm = SUBJECT_RE.search(payload)
-    if sm:
-        abstract = abstract_or_empty(sm.group(1).strip())
-        if abstract:
-            meta["abstract"] = abstract
+    subject = sm.group(1).strip() if sm else ""
+    # the full 9-key record of pymupdf.py:83-93, ''-defaulted
+    meta: dict[str, str] = {
+        "title": _header(payload, "title"),
+        "authors": _header(payload, "authors"),
+        "creationdate": _header(payload, "creationdate"),
+        "keywords": _header(payload, "keywords"),
+        "doi": extract_doi(payload),
+        "producer": _header(payload, "producer"),
+        "format": PLAIN_FORMAT,
+        "first_page": clean_text.split("\n\n", 1)[0],
+        "abstract": abstract_or_empty(subject),
+    }
 
     # one body span: the stripped extent of the original payload
     spans: list[tuple[int, int, str]] = []

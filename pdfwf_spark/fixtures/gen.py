@@ -94,6 +94,12 @@ def make_pdfish(rng: random.Random) -> str:
             lines.append(f"BLOCK 100 65 500 80 author|{_words(rng, 3)}")
             if rng.random() < 0.5:
                 lines.append("BLOCK 100 85 500 95 date|2025-01-15")
+            if rng.random() < 0.25:
+                # equation block (F6): raw latex lands in meta['equations']
+                a, b = rng.choice(VOCAB), rng.choice(VOCAB)
+                lines.append(
+                    f"BLOCK 100 98 500 112 equation|\\frac{{{a}}}{{{b}}} + \\alpha"
+                )
         blocks = []
         n_body = rng.randint(3, 7)
         for i in range(n_body):
@@ -109,6 +115,13 @@ def make_pdfish(rng: random.Random) -> str:
             # overlapping duplicate block -> NMS dedup target
             x, y, _line = blocks[0]
             blocks.append((x + 4, y + 4, f"BLOCK {x + 4} {y + 4} {x + 200} {y + 66} text|dup {_words(rng, 3)}"))
+        if rng.random() < 0.3:
+            # conf-bearing blocks (P5): one above and one below the
+            # 0.6 threshold — the low-conf block must never appear
+            conf_hi, conf_lo = rng.choice(["0.95", "0.7"]), rng.choice(["0.3", "0.55"])
+            y = 600
+            blocks.append((100, y, f"BLOCK 100 {y} 320 {y + 40} {conf_hi} text|{_sentence(rng)}"))
+            blocks.append((100, y + 50, f"BLOCK 100 {y + 50} 320 {y + 90} {conf_lo} text|lowconf {_words(rng, 4)}"))
         if rng.random() < 0.3:
             lines_extra = f"BLOCK 100 760 500 780 footer|page {page}"
             blocks.append((100, 760, lines_extra))

@@ -25,10 +25,13 @@ def tie_key(text: str, tool: str) -> str:
     ).hexdigest()
 
 
-def golden_records(rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
+def golden_records(
+    rows: list[dict[str, Any]], markdown_compat: bool = False
+) -> list[dict[str, Any]]:
     """Extract + totally order every row; attach turn_rank (1-based
     within conv). Includes failed rows (parse_status != 'ok') so both
-    the success contract and lineage counts can be checked."""
+    the success contract and lineage counts can be checked.
+    markdown_compat mirrors pipeline.extract_df(markdown_compat=True)."""
     keyed = sorted(
         rows,
         key=lambda r: (
@@ -47,6 +50,11 @@ def golden_records(rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
             prev_conv, rank = r["conv_id"], 0
         rank += 1
         res = extract_payload(r.get("text", ""), r.get("tool", ""))
+        clean = res.clean_text
+        if markdown_compat:
+            from pdfwf_spark.core.normalize import markdown_compatible
+
+            clean = markdown_compatible(clean)
         out.append(
             {
                 "conv_id": r["conv_id"],
@@ -56,7 +64,7 @@ def golden_records(rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
                 "ts": r["ts"],
                 "parser": res.parser,
                 "parse_status": res.status,
-                "clean_text": res.clean_text,
+                "clean_text": clean,
                 "spans": [(s.start, s.end, s.label) for s in res.spans],
                 "meta": dict(res.meta),
                 "tie_key": tie_key(r.get("text", ""), r.get("tool", "")),

@@ -36,3 +36,58 @@ def collapse_ws_runs(c: Column) -> Column:
 def abstract_or_empty(c: Column) -> Column:
     """F4 — pymupdf.py:34,76-80 (strictly greater than 580 chars)."""
     return F.when(F.length(c) > ABSTRACT_THRESHOLD, c).otherwise(F.lit(""))
+
+
+# P6 — header-line analogs of the PDF metadata fields (pymupdf.py:68-82);
+# same patterns as core.plain_extract.HEADER_RES, Java/RE2-rendered.
+HEADER_PATTERNS = {
+    "title": r"(?m)^Title:[ \t]*(.*)$",
+    "authors": r"(?m)^Authors?:[ \t]*(.*)$",
+    "creationdate": r"(?m)^(?:Creation-Date|Created|Date):[ \t]*(.*)$",
+    "keywords": r"(?m)^Keywords:[ \t]*(.*)$",
+    "producer": r"(?m)^Producer:[ \t]*(.*)$",
+    "subject": r"(?m)^Subject:[ \t]*(.*)$",
+}
+
+
+def project_meta9(payload: Column) -> list[Column]:
+    """P6 — the full 9-key metadata projection of pymupdf.py:83-93 as
+    JVM-side columns (select/rename of ~9 metadata keys; ''-defaulted,
+    abstract iff subject > 580 chars, first_page = first
+    blank-line-delimited segment of the normalized payload)."""
+    def hdr(key: str) -> Column:
+        return F.trim(F.regexp_extract(payload, HEADER_PATTERNS[key], 1))
+
+    subject = hdr("subject")
+    clean = collapse_blank_runs(payload)
+    return [
+        hdr("title").alias("title"),
+        hdr("authors").alias("authors"),
+        hdr("creationdate").alias("creationdate"),
+        hdr("keywords").alias("keywords"),
+        doi_extract(payload).alias("doi"),
+        hdr("producer").alias("producer"),
+        F.lit("plain").alias("format"),
+        F.split(clean, r"\n\n").getItem(0).alias("first_page"),
+        abstract_or_empty(subject).alias("abstract"),
+    ]
+
+
+def markdown_compatible_col(c: Column) -> Column:
+    """F7 — nougat_.py:124,245-246 markdown repair, JVM-side twin of
+    core.normalize.markdown_compatible (same patterns, Java/RE2-safe;
+    whole-stage-codegen'd, so zero Python in the hot path)."""
+    c = F.regexp_replace(c, r"(?m)^(#{1,6})([^#\s])", "$1 $2")
+    c = F.regexp_replace(
+        c, r"(?m)^\(([0-9][0-9.]*[A-Za-z]?)\) \\\[(.+)\\\]$",
+        "\\\\[$2 \\\\tag{$1}\\\\]",
+    )
+    c = F.regexp_replace(
+        c, r"(?m)^\\\[(.+)\\\] \(([0-9][0-9.]*[A-Za-z]?)\)$",
+        "\\\\[$1 \\\\tag{$2}\\\\]",
+    )
+    c = F.replace(c, F.lit("\\bm{"), F.lit("\\mathbf{"))
+    c = F.replace(c, F.lit("\\. "), F.lit(". "))
+    return F.regexp_replace(
+        c, r"(?m)(^|[\s(])(https?://[^\s<>)\]\"']+)", "$1[$2]($2)"
+    )

@@ -93,15 +93,25 @@ def extract_df(
     n_salts: int = DEFAULT_SALTS,
     prepartition: str = "auto",
     stable_sort: bool = False,
+    markdown_compat: bool = False,
 ) -> DataFrame:
     """Pure transform: transcripts -> ranked extraction output (all
-    statuses). Composable; no I/O."""
+    statuses). Composable; no I/O.
+
+    markdown_compat: the reference's optional markdown repair pass
+    (nougat_.py:245-246, config.markdown) — applied JVM-side on
+    clean_text (codegen'd regexes, no extra Python)."""
     spark = transcripts.sparkSession
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
     staged = _stage_inputs(
         transcripts, n_buckets, n_partitions, n_salts, prepartition, stable_sort
     )
-    return with_turn_rank(extract_turns(staged))
+    out = with_turn_rank(extract_turns(staged))
+    if markdown_compat:
+        from pdfwf_spark.operators.functions import markdown_compatible_col
+
+        out = out.withColumn("clean_text", markdown_compatible_col(F.col("clean_text")))
+    return out
 
 
 def run_extraction(

@@ -181,6 +181,12 @@ def test_pdfish_failures():
 
 # ------------------------------------------------------------- plain/meta
 
+PLAIN_META_KEYS = {
+    "title", "authors", "creationdate", "keywords", "doi",
+    "producer", "format", "first_page", "abstract",
+}
+
+
 def test_plain_and_meta():
     payload = "Subject: " + "y" * 600 + "\nSee doi:10.1/ab now.\n\n\n\n\nBody."
     text, spans, meta = extract_plain(payload)
@@ -189,7 +195,42 @@ def test_plain_and_meta():
     assert meta["abstract"] == "y" * 600
     payload2 = "Subject: short\nbody"
     _, _, meta2 = extract_plain(payload2)
-    assert "abstract" not in meta2  # <=580 chars -> dropped (F4)
+    assert meta2["abstract"] == ""  # <=580 chars -> '' (F4, pymupdf.py:76-80)
+
+
+def test_plain_nine_key_metadata_record():
+    """P6 — the full 9-key out_meta of pymupdf.py:83-93, always
+    present, ''-defaulted."""
+    payload = (
+        "Title: A Study of Shuffles\n"
+        "Authors: Ada L., Grace H.\n"
+        "Created: 2025-01-15\n"
+        "Keywords: spark, shuffle\n"
+        "Producer: engine-v2\n"
+        "Subject: " + "z" * 581 + "\n"
+        "Intro paragraph mentioning doi:10.42/xyz here.\n\n\n\n"
+        "Second paragraph."
+    )
+    _, _, meta = extract_plain(payload)
+    assert set(meta) == PLAIN_META_KEYS
+    assert meta["title"] == "A Study of Shuffles"
+    assert meta["authors"] == "Ada L., Grace H."
+    assert meta["creationdate"] == "2025-01-15"
+    assert meta["keywords"] == "spark, shuffle"
+    assert meta["producer"] == "engine-v2"
+    assert meta["doi"] == "10.42/xyz"
+    assert meta["format"] == "plain"
+    assert meta["abstract"] == "z" * 581
+    # first_page = first blank-line-delimited segment (pymupdf.py:64-66
+    # page-one analog) — header block up to the first paragraph break
+    assert meta["first_page"].startswith("Title: A Study of Shuffles")
+    assert meta["first_page"].endswith("doi:10.42/xyz here.")
+
+    # no headers at all -> every key still present, '' (format/first_page set)
+    _, _, bare = extract_plain("just a body paragraph")
+    assert set(bare) == PLAIN_META_KEYS
+    assert bare["title"] == "" and bare["authors"] == ""
+    assert bare["first_page"] == "just a body paragraph"
 
 
 # ------------------------------------------------------------- routing
@@ -209,3 +250,117 @@ def test_extract_payload_statuses():
     assert bad.status == "failed" and bad.parser == "pdfish"
     via_tool = extract_payload("", "<body><p>tool html</p></body>")
     assert via_tool.status == "ok" and via_tool.source == "tool" and via_tool.parser == "html"
+
+
+# ------------------------------------------------------------- latex (F6)
+
+def test_latex_to_text_basics():
+    from pdfwf_spark.core.latex import LatexError, latex_to_text
+
+    # identity on non-latex prose (guard: % and braces untouched)
+    assert latex_to_text("plain prose, 50% off {really}") == \
+        "plain prose, 50% off {really}"
+    # commands stripped, operands kept (pylatexenc-subset shape)
+    assert latex_to_text(r"\textbf{bold} and \emph{it}") == "bold and it"
+    # '$' delimiters are stripped once the text is latex-bearing;
+    # a backslash-free "costs $5" stays untouched (guard)
+    assert latex_to_text(r"$E = \mu c^2$") == "E = μ c^2"
+    assert latex_to_text("costs $5 today") == "costs $5 today"
+    assert latex_to_text(r"\frac{a+b}{c}") == "a+b/c"
+    assert latex_to_text(r"\sqrt{x+1}") == "√(x+1)"
+    assert latex_to_text(r"\alpha \leq \beta") == "α ≤ β"
+    assert latex_to_text("A\\\\B") == "A\nB"            # \\ -> newline
+    assert latex_to_text(r"100\% \& \{x\}") == "100% & {x}"
+    assert latex_to_text(r"\begin{eq}x=1\end{eq}") == "x=1"
+    # comments stripped only in latex-bearing text
+    assert latex_to_text("x \\alpha % note\ny") == "x α \ny"
+    # failures -> LatexError (reference: key dropped)
+    with pytest.raises(LatexError):
+        latex_to_text(r"\frac{a}")       # missing second operand
+    with pytest.raises(LatexError):
+        latex_to_text(r"\begin{eq}x=1")  # unclosed environment
+    with pytest.raises(LatexError):
+        latex_to_text(r"\end{eq}")       # mismatched end
+
+
+def test_pdfish_equation_class():
+    """F6 — 'equation' blocks land raw in meta['equations'] (' '-join,
+    tensor_utils.py:2405-2408); body text passes through latex_to_text."""
+    payload = _doc(
+        [
+            "PAGE 1",
+            r"BLOCK 100 100 500 160 text|result uses \textbf{bold} math",
+            r"BLOCK 100 200 500 260 equation|E = \frac{m}{c}",
+            r"BLOCK 100 300 500 360 equation|\alpha + 1",
+            "PAGE 2",
+            "BLOCK 100 100 500 160 text|second page",
+        ]
+    )
+    text, spans, meta = extract_pdfish(payload)
+    assert meta["equations"] == r"E = \frac{m}{c} \alpha + 1"   # raw latex
+    assert text == "result uses bold math\nsecond page"         # latex'd body
+    assert ("equation" in {s[2] for s in spans})
+
+
+def test_pdfish_latex_failure_drops_key():
+    # meta category with broken latex -> key dropped, doc still ok
+    payload = _doc(
+        [
+            "PAGE 1",
+            r"BLOCK 100 40 500 60 title|\frac{broken",
+            "BLOCK 100 100 500 160 text|fine body",
+        ]
+    )
+    text, _, meta = extract_pdfish(payload)
+    assert text == "fine body"
+    assert "title" not in meta
+    # broken latex in the BODY -> whole doc fails (text key dropped)
+    payload2 = _doc(["PAGE 1", r"BLOCK 100 100 500 160 text|\begin{x} y"])
+    with pytest.raises(ParseFailure):
+        extract_pdfish(payload2)
+
+
+# ------------------------------------------------------------- markdown (F7)
+
+def test_markdown_compatible():
+    from pdfwf_spark.core.normalize import markdown_compatible
+
+    assert markdown_compatible("#Title\n##Sub") == "# Title\n## Sub"
+    assert markdown_compatible("# ok\n#### ok") == "# ok\n#### ok"
+    assert markdown_compatible("(1.2) \\[E=mc^2\\]") == "\\[E=mc^2 \\tag{1.2}\\]"
+    assert markdown_compatible("\\[E=mc^2\\] (3a)") == "\\[E=mc^2 \\tag{3a}\\]"
+    assert markdown_compatible("\\bm{x} stays \\mathbf{y}") == "\\mathbf{x} stays \\mathbf{y}"
+    assert markdown_compatible("end\\. next") == "end. next"
+    assert markdown_compatible("see https://ex.org/a?b=1 now") == \
+        "see [https://ex.org/a?b=1](https://ex.org/a?b=1) now"
+    # idempotent-ish on already-clean text
+    assert markdown_compatible("# Title\nplain body") == "# Title\nplain body"
+
+
+# ------------------------------------------------------------- conf (P5)
+
+def test_pdfish_confidence_threshold_and_nms():
+    from pdfwf_spark.core.pdfish_extract import CONF_THRESHOLD
+
+    assert CONF_THRESHOLD == 0.6  # tensor_utils.py:402-466 default
+    payload = _doc(
+        [
+            "PAGE 1",
+            "BLOCK 100 100 300 200 0.95 text|high conf block",
+            "BLOCK 100 300 300 400 0.31 text|low conf dropped",
+            "BLOCK 100 500 300 600 text|no conf defaults to 1.0",
+        ]
+    )
+    text, _, _ = extract_pdfish(payload)
+    assert text == "high conf block\nno conf defaults to 1.0"
+
+    # NMS prefers HIGHER CONF even when the overlapping rival is larger
+    payload2 = _doc(
+        [
+            "PAGE 1",
+            "BLOCK 100 100 400 300 0.61 text|big but less confident",
+            "BLOCK 110 110 390 290 0.99 text|small and confident",
+        ]
+    )
+    text2, _, _ = extract_pdfish(payload2)
+    assert text2 == "small and confident"

@@ -1,0 +1,32 @@
+"""S4 — markdown-dir source tests (convert_markdown_to_jsonl.py:31-79
+semantics: wholetext read, stem pairing, orphan drop)."""
+
+from __future__ import annotations
+
+from pdfwf_spark.sources import pair_with_sources, read_markdown_dir
+
+
+def test_read_markdown_dir_wholetext(spark, tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.md").write_text("# Title A\n\nbody A line 1\nline 2\n")
+    (tmp_path / "sub" / "b.md").write_text("body B")
+    (tmp_path / "ignored.txt").write_text("nope")
+
+    md = read_markdown_dir(spark, str(tmp_path))
+    rows = {r["stem"]: r for r in md.collect()}
+    assert set(rows) == {"a", "b"}  # recursive, .txt filtered out
+    assert rows["a"]["text"] == "# Title A\n\nbody A line 1\nline 2\n"  # wholetext
+    assert rows["b"]["md_path"].endswith("/sub/b.md")
+
+
+def test_pair_with_sources_by_stem(spark, tmp_path):
+    (tmp_path / "a.md").write_text("text a")
+    (tmp_path / "orphan.md").write_text("no source pdf")
+    md = read_markdown_dir(spark, str(tmp_path))
+    sources = spark.createDataFrame(
+        [("/data/pdfs/a.pdf",), ("/data/pdfs/unmatched.pdf",)], "path string"
+    )
+    paired = pair_with_sources(md, sources).collect()
+    assert len(paired) == 1
+    assert paired[0]["path"] == "/data/pdfs/a.pdf"
+    assert paired[0]["text"] == "text a"
