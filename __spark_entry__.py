@@ -382,6 +382,24 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+def _q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash (4x16-bit bands + hex fingerprint) — the
+    corpus-scale variant; 16-bit dedup_simhash stays as the baseline."""
+    from pdfwf_spark.operators.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash64(docs)
+
+
+def _q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming candidate pairs over simhash64 (complete for
+    Hamming<=3 by pigeonhole; 16 here for recall on small SF)."""
+    from pdfwf_spark.operators.dedup import simhash_band_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_band_pairs(docs, max_hamming=16)
+
+
 def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfwf_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -424,11 +442,13 @@ def _q_emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (xxhash64 planes have no DuckDB equivalent)."""
+    """Multi-table sign-bit LSH near-dup — md5-derived hyperplanes so
+    the DuckDB oracle reproduces the exact buckets (was rows-only when
+    planes came from xxhash64)."""
     from pdfwf_spark.operators.similarity import bucketed_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return bucketed_neardup_pairs(emb, threshold_milli=500, n_planes=6)
+    return bucketed_neardup_pairs(emb, threshold_milli=300, n_planes=4, n_tables=2)
 
 
 def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sig": _q_dedup_minhash_sig,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash64": _q_dedup_simhash64,
+        "simhash_band_pairs": _q_simhash_band_pairs,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_lsh_verified": _q_dedup_lsh_verified,
@@ -577,6 +599,37 @@ _MINHASH_SIG_SQL = (
     )
     + f" FROM ({_SHINGLES}) GROUP BY doc_id"
 )
+
+# 64-bit simhash as 4x16-bit bands (mirror of operators.dedup.simhash64)
+_SIMHASH64_PIV = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, p,
+             CASE WHEN SUM(
+               (((strpos('0123456789abcdef', substr(md5(tok), p // 4 + 1, 1)) - 1)
+                 >> (3 - (p % 4))) & 1) * 2 - 1) > 0
+             THEN 1 ELSE 0 END AS bit
+      FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS p) ps
+      WHERE tok <> ''
+      GROUP BY doc_id, p
+    ),
+    bands AS (
+      SELECT doc_id, (p // 16)::INT AS b,
+             SUM((bit::BIGINT) << (p % 16))::BIGINT AS band_val
+      FROM bits GROUP BY doc_id, p // 16
+    ),
+    piv AS (
+      SELECT doc_id,
+             (MAX(CASE WHEN b = 0 THEN band_val END))::BIGINT AS band_0,
+             (MAX(CASE WHEN b = 1 THEN band_val END))::BIGINT AS band_1,
+             (MAX(CASE WHEN b = 2 THEN band_val END))::BIGINT AS band_2,
+             (MAX(CASE WHEN b = 3 THEN band_val END))::BIGINT AS band_3
+      FROM bands GROUP BY doc_id
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -777,6 +830,70 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id, p
             )
             SELECT doc_id, SUM(bit)::BIGINT AS simhash FROM bits GROUP BY doc_id
+        """,
+        "dedup_simhash64": f"""
+            {_SIMHASH64_PIV}
+            SELECT doc_id, band_0, band_1, band_2, band_3,
+                   lpad(lower(to_hex(band_3)), 4, '0') ||
+                   lpad(lower(to_hex(band_2)), 4, '0') ||
+                   lpad(lower(to_hex(band_1)), 4, '0') ||
+                   lpad(lower(to_hex(band_0)), 4, '0') AS simhash_hex
+            FROM piv
+        """,
+        "simhash_band_pairs": f"""
+            {_SIMHASH64_PIV},
+            ex AS (
+              SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM piv
+              UNION ALL SELECT doc_id, 1, band_1 FROM piv
+              UNION ALL SELECT doc_id, 2, band_2 FROM piv
+              UNION ALL SELECT doc_id, 3, band_3 FROM piv),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM ex a JOIN ex b2
+                ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val
+               AND a.doc_id < b2.doc_id)
+            SELECT id_a, id_b, hamming FROM (
+              SELECT c.id_a, c.id_b,
+                     (bit_count(xor(pa.band_0, pb.band_0))
+                      + bit_count(xor(pa.band_1, pb.band_1))
+                      + bit_count(xor(pa.band_2, pb.band_2))
+                      + bit_count(xor(pa.band_3, pb.band_3)))::INT AS hamming
+              FROM cands c
+              JOIN piv pa ON pa.doc_id = c.id_a
+              JOIN piv pb ON pb.doc_id = c.id_b) t
+            WHERE hamming <= 16
+        """,
+        "emb_neardup_lsh": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec,
+                     sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+              FROM embeddings),
+            buckets AS (
+              SELECT vec_id, tbl,
+                     SUM(CASE WHEN list_sum(list_transform(range(1, len(vec) + 1),
+                           j -> vec[j] * ((('0x' || substr(md5(
+                                  '42#' || tbl || '#' || i || '#' || (j - 1)
+                                ), 1, 1))::INT % 2 * 2 - 1)::DOUBLE)))
+                              > 0
+                          THEN (1 << i) ELSE 0 END) AS bucket
+              FROM v
+              CROSS JOIN (SELECT unnest(range(0, 2)) AS tbl) ts
+              CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ps
+              GROUP BY vec_id, tbl),
+            cands AS (
+              SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+              FROM buckets a JOIN buckets b2
+                ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+               AND a.vec_id < b2.vec_id)
+            SELECT id_a, id_b, cos_milli FROM (
+              SELECT c.id_a, c.id_b,
+                     CAST(ROUND(1000 * list_sum(list_transform(
+                            range(1, len(va.vec) + 1), j -> va.vec[j] * vb.vec[j]))
+                          / (va.nrm * vb.nrm)) AS INT) AS cos_milli
+              FROM cands c
+              JOIN v va ON va.vec_id = c.id_a
+              JOIN v vb ON vb.vec_id = c.id_b) t
+            WHERE cos_milli >= 300
         """,
         "dedup_jaccard_pairs": f"""
             WITH sh AS ({_SHINGLES}),

@@ -183,13 +183,11 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """SIMHASH_BITS-bit bitwise-majority fingerprint over tokens.
-
-    Token bit p = bit p of md5(token)'s leading hex; the fingerprint
-    sets bit p when the +1/-1 majority over tokens is positive.
-    explode -> groupBy(id): one shuffle, partial sums combine map-side.
-    """
+def _bit_majority_sums(docs: DataFrame, text_col: str, id_col: str, bits: int) -> DataFrame:
+    """Per-doc +1/-1 majority sums for bit positions 0..bits-1, where a
+    token's bit p = bit p of md5(token)'s hex digits. One explode ->
+    groupBy shuffle; all `bits` sums are fixed-width int lanes, so the
+    aggregate stays a map-side-combining HashAggregate."""
     from pdfwf_spark.operators.partitioning import repartition_for_scan
 
     tok = repartition_for_scan(docs).select(
@@ -197,18 +195,116 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     ).filter(F.col("tok") != "")
     digest = F.md5(F.col("tok"))
     contribs = []
-    for p in range(SIMHASH_BITS):
+    for p in range(bits):
         hex_pos = p // 4 + 1
         bit_in_digit = 3 - (p % 4)
         digit = F.conv(F.substring(digest, hex_pos, 1), 16, 10).cast("int")
         bit = F.shiftright(digit, bit_in_digit).bitwiseAND(F.lit(1))
         contribs.append(F.sum(bit * 2 - 1).alias(f"s_{p}"))
-    sums = tok.groupBy("id").agg(*contribs)
+    return tok.groupBy("id").agg(*contribs)
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SIMHASH_BITS-bit bitwise-majority fingerprint over tokens —
+    kept as the small oracle-baseline variant; the corpus-scale
+    fingerprint is simhash64 (a 16-bit space saturates at ~65k docs).
+    """
+    sums = _bit_majority_sums(docs, text_col, id_col, SIMHASH_BITS)
     fp = None
     for p in range(SIMHASH_BITS):
         term = F.when(F.col(f"s_{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return sums.select(F.col("id").alias(id_col), fp.cast("long").alias("simhash"))
+
+
+SIMHASH64_BITS = 64
+SIMHASH64_BANDS = 4          # 4 bands x 16 bits
+_BAND_BITS = SIMHASH64_BITS // SIMHASH64_BANDS
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash as 4 x 16-bit band columns + a hex fingerprint.
+
+    Band representation (band_0 = bits 0..15, ... band_3 = bits
+    48..63) sidesteps signed-64 overflow at bit 63, gives the banded
+    Hamming grouping its join keys for free, and lets a DuckDB oracle
+    mirror the value bit-for-bit. simhash_hex = big-endian hex concat
+    (band_3 leftmost).
+    """
+    sums = _bit_majority_sums(docs, text_col, id_col, SIMHASH64_BITS)
+    band_cols = []
+    for b in range(SIMHASH64_BANDS):
+        band = None
+        for r in range(_BAND_BITS):
+            p = b * _BAND_BITS + r
+            term = F.when(F.col(f"s_{p}") > 0, F.lit(1 << r)).otherwise(F.lit(0))
+            band = term if band is None else band + term
+        band_cols.append(band.cast("long").alias(f"band_{b}"))
+    with_bands = sums.select(F.col("id").alias(id_col), *band_cols)
+    hex_parts = [
+        F.lpad(F.lower(F.hex(F.col(f"band_{b}"))), 4, "0")
+        for b in reversed(range(SIMHASH64_BANDS))
+    ]
+    return with_bands.withColumn("simhash_hex", F.concat(*hex_parts))
+
+
+def simhash_band_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 16,
+) -> DataFrame:
+    """Near-dup candidates by banded Hamming grouping over simhash64.
+
+    Docs sharing ANY 16-bit band collide in an equi-self-join on
+    (band_idx, band_val) — never all-pairs. By pigeonhole, every pair
+    with Hamming distance <= 3 shares at least one of the 4 bands, so
+    max_hamming <= 3 gives a COMPLETE result; larger thresholds are
+    best-effort recall (standard banding trade-off). Output:
+    id_a, id_b, hamming.
+    """
+    sigs = simhash64(docs, text_col, id_col)
+    entries = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_val"))
+            for b in range(SIMHASH64_BANDS)
+        ]
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(entries).alias("e")
+    ).select(id_col, "e.band_idx", "e.band_val")
+    a, b_ = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"band_{b}").alias(f"a_band_{b}") for b in range(SIMHASH64_BANDS)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"band_{b}").alias(f"b_band_{b}") for b in range(SIMHASH64_BANDS)],
+    )
+    hamming = None
+    for b in range(SIMHASH64_BANDS):
+        term = F.bit_count(
+            F.col(f"a_band_{b}").bitwiseXOR(F.col(f"b_band_{b}"))
+        )
+        hamming = term if hamming is None else hamming + term
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def lsh_verified_neardups(

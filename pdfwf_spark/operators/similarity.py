@@ -121,38 +121,51 @@ def exact_neardup_pairs(
     )
 
 
+def _plane_sign(seed: int, table: int, plane: int, j: Column) -> Column:
+    """Hyperplane component in {-1,+1} for dimension j, derived from
+    md5 (NOT xxhash64) so a DuckDB oracle reproduces the exact planes:
+    parity of md5('{seed}#{table}#{plane}#{j}')'s first hex digit."""
+    digest = F.md5(
+        F.concat_ws("#", F.lit(str(seed)), F.lit(str(table)), F.lit(str(plane)),
+                    j.cast("string"))
+    )
+    return F.conv(F.substring(digest, 1, 1), 16, 10).cast("int") % 2 * 2 - 1
+
+
+def hyperplane_bucket(
+    vec_col: str, n_planes: int, seed: int = 42, table: int = 0
+) -> Column:
+    """Sign-bit LSH bucket: bit i = sign(<v, h_i>), planes deterministic
+    per (seed, table, plane, dim-index) — every executor derives
+    identical planes, no driver-side randomness, no broadcast."""
+    dim = F.size(F.col(vec_col))
+    v = _as_double(F.col(vec_col))
+
+    def _term(plane: int):
+        # closure factory: zip_with requires an arity-2 lambda
+        return lambda x, j: x * _plane_sign(seed, table, plane, j)
+
+    bucket = None
+    for i in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), dim - 1), _term(i)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
 def hyperplane_buckets(
     emb: DataFrame,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    table: int = 0,
 ) -> DataFrame:
-    """Sign-bit LSH bucket per vector: bit i = sign(<v, h_i>) where
-    h_i is a deterministic pseudo-random hyperplane derived from
-    (seed, i, dim) via a hash — no driver-side randomness, so every
-    executor derives identical planes.
-    """
-    dim = F.size(F.col(vec_col))
-    v = _as_double(F.col(vec_col))
-    bits = []
-    for i in range(n_planes):
-        # plane component c_j in {-1,+1} from xxhash64(seed, i, j)
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), dim - 1),
-                lambda x, j: x
-                * (F.pmod(F.xxhash64(F.lit(seed), F.lit(i), j), F.lit(2)) * 2 - 1),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return emb.withColumn("bucket", bucket.cast("int"))
+    return emb.withColumn("bucket", hyperplane_bucket(vec_col, n_planes, seed, table))
 
 
 def bucketed_neardup_pairs(
@@ -161,30 +174,58 @@ def bucketed_neardup_pairs(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine >= threshold) among same-bucket
-    vectors: the equi-join on bucket bounds the pair blowup; misses
-    across bucket boundaries are the standard LSH recall trade-off
-    (raise recall with multiple tables at scale).
+    vectors — the 100 TB path: per-table bucket equi-joins bound the
+    pair blowup (never all-pairs), and n_tables independent plane sets
+    raise recall (a pair is a candidate if it collides in ANY table —
+    the standard multi-table LSH trade: recall vs n_tables x work).
+    Candidates are distinct'd before scoring so cosine is computed
+    once per pair.
     """
     from pdfwf_spark.operators.partitioning import repartition_for_scan
 
-    b = hyperplane_buckets(repartition_for_scan(emb), n_planes, id_col, vec_col)
-    nb = with_unit_norm(b, vec_col).select(
-        F.col(id_col).alias("id"), "bucket", "_vec", "_norm"
+    base = with_unit_norm(repartition_for_scan(emb), vec_col).select(
+        F.col(id_col).alias("id"), "_vec", "_norm",
+        *[
+            hyperplane_bucket(vec_col, n_planes, seed, t).alias(f"bucket_{t}")
+            for t in range(n_tables)
+        ],
     )
-    l, r = nb.alias("l"), nb.alias("r")
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"bucket_{t}").alias("bucket"))
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("tb")
+    exploded = base.select("id", tb).select("id", "tb.tbl", "tb.bucket")
+    a, b_ = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("_vec").alias("_va"),
+                     F.col("_norm").alias("_na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("_vec").alias("_vb"),
+                     F.col("_norm").alias("_nb"))
     return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cos_milli",
-            F.round(
-                1000 * _dot(F.col("l._vec"), F.col("r._vec"))
-                / (F.col("l._norm") * F.col("r._norm"))
-            ).cast("int"),
+            F.round(1000 * _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+            .cast("int"),
         )
         .filter(F.col("cos_milli") >= threshold_milli)
-        .select(
-            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cos_milli"
-        )
+        .select("id_a", "id_b", "cos_milli")
     )

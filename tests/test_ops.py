@@ -155,3 +155,39 @@ def test_tie_key_jvm_matches_golden_and_disambiguates(spark):
     want = [tie_key(t or "", u or "") for t, u in rows]
     assert got == want
     assert got[0] != got[1]      # NUL ambiguity is resolved
+
+
+def test_simhash64_bands_and_pairs(spark, docs):
+    from pdfwf_spark.operators.dedup import simhash64, simhash_band_pairs
+
+    sigs = {r["doc_id"]: r for r in simhash64(docs).collect()}
+    for r in sigs.values():
+        for b in range(4):
+            assert 0 <= r[f"band_{b}"] < (1 << 16)
+        assert len(r["simhash_hex"]) == 16
+    # identical docs -> identical 64-bit fingerprint
+    assert sigs[0]["simhash_hex"] == sigs[1]["simhash_hex"]
+    # near dup differs in few bits; unrelated docs differ in many
+    def ham(a, b):
+        return bin(int(sigs[a]["simhash_hex"], 16) ^ int(sigs[b]["simhash_hex"], 16)).count("1")
+    assert ham(0, 2) < ham(0, 3)
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_band_pairs(docs, max_hamming=64).collect()}
+    assert pairs[(0, 1)] == 0                       # exact dup: hamming 0
+    # banding completeness: hamming<=3 pairs always share a band
+    assert all(h <= 64 for h in pairs.values())
+
+
+def test_multi_table_lsh_recall(spark):
+    from pdfwf_spark.operators.similarity import bucketed_neardup_pairs
+
+    base = [float(i % 7) + 1.0 for i in range(16)]
+    near = list(base); near[0] += 0.05
+    rows = [(0, base), (1, near), (2, [(-1.0) ** i * (i + 1.0) for i in range(16)])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]): r["cos_milli"]
+           for r in bucketed_neardup_pairs(emb, threshold_milli=950, n_planes=4,
+                                           n_tables=2).collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 990     # near-identical pair found
+    assert all(a != 2 and b != 2 for a, b in got)    # orthogonal vector excluded
