@@ -508,9 +508,26 @@ def _q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_plain_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship parity slice, DuckDB-checkable: the plain-payload
+    family of the synthetic transcripts goes through the REAL
+    mapInPandas pipeline (sniff -> route -> extract -> rank), and the
+    oracle reproduces clean_text (pure F2 regex normalization) and
+    turn_rank (doc_id-derived ordering) in SQL. Shrinks the rows-only
+    set to genuinely non-portable parser ops."""
+    from pdfwf_spark.pipeline import extract_df
+
+    transcripts = _synth_transcripts(spark, sf_dir)
+    out = extract_df(transcripts, n_buckets=16)
+    return out.filter(
+        (F.col("parser") == "plain") & (F.col("parse_status") == "ok")
+    ).select("conv_id", "turn_idx", "turn_rank", "clean_text")
+
+
 def _q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only — multimodal binary plumbing (decode stubbed)."""
-    from pdfwf_spark.operators.multimodal import decode_media, make_fake_media
+    """Rows-only — multimodal binary plumbing (decode stubbed;
+    payloads built and checksummed numpy-vectorized per Arrow batch)."""
+    from pdfwf_spark.operators.multimodal import decode_media, make_fake_media_batch
 
     import pandas as pd
 
@@ -522,13 +539,7 @@ def _q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "content": [
-                        make_fake_media(i, "image" if i % 2 == 0 else "audio")
-                        for i in ids
-                    ],
-                }
+                {"doc_id": ids, "content": make_fake_media_batch(ids)}
             )
 
     media = docs.select("doc_id").mapInPandas(build, "doc_id long, content binary")
@@ -574,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "extract_pipeline": _q_extract_pipeline,
+        "extract_plain_parity": _q_extract_plain_parity,
         "mm_media_meta": _q_mm_media_meta,
     }
 
@@ -1021,6 +1033,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_fr > 0 THEN 'fr'
                         ELSE 'und' END AS lang_pred
             FROM s
+        """,
+        "extract_plain_parity": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     'conv-' || lpad((doc_id % 50)::VARCHAR, 6, '0') AS conv_id,
+                     (doc_id // 50) AS turn_idx,
+                     doc_id % 3 AS fam, text
+              FROM documents),
+            ranked AS (
+              SELECT conv_id, turn_idx, fam, text,
+                     (ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx))::INT AS turn_rank
+              FROM t)
+            SELECT conv_id, turn_idx::INT AS turn_idx, turn_rank,
+                   regexp_replace(
+                     regexp_replace(
+                       text || chr(10)||chr(10)||chr(10)||chr(10) || 'tail paragraph here.',
+                       '\n{3,}', chr(10)||chr(10), 'g'),
+                     '^\s+|\s+$', '', 'g') AS clean_text
+            FROM ranked WHERE fam = 2
         """,
         "text_fingerprint": rf"""
             WITH tok AS (

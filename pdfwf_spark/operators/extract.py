@@ -54,10 +54,13 @@ def tie_key_col(text: str = "text", tool: str = "tool") -> Column:
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import time
+
     for pdf in batches:
         n = len(pdf)
         if n == 0:
             continue
+        t0 = time.monotonic_ns()
         texts = pdf["text"].fillna("").tolist()
         tools = pdf["tool"].fillna("").tolist()
         parser = [""] * n
@@ -82,6 +85,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             meta[i] = res.meta
             bytes_in[i] = len(texts[i]) + len(tools[i])
             bytes_out[i] = len(res.clean_text)
+        # per-row share of the batch's parse wall time ('parser-parse'
+        # stage, timer.py:36-129); summed per bucket in lineage_rows
+        extract_us = (time.monotonic_ns() - t0) // (n * 1000)
         yield pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"].values,
@@ -97,6 +103,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "meta": meta,
                 "bytes_in": bytes_in,
                 "bytes_out": bytes_out,
+                "extract_us": [extract_us] * n,
                 "bucket": pdf["bucket"].values,
                 # computed JVM-side pre-UDF (tie_key_col); pass-through
                 "tie_key": pdf["tie_key"].values,

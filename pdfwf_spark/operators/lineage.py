@@ -32,6 +32,9 @@ def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
             ),
             F.sum("bytes_in").alias("bytes_in"),
             F.sum("bytes_out").alias("bytes_out"),
+            # 'parser-parse' stage wall per bucket (timer.py:36-129
+            # analog; the reference scrapes this from stdout logs)
+            (F.sum("extract_us") / 1000).cast("long").alias("extract_ms"),
         )
         .select(
             F.lit(run_id).alias("run_id"),
@@ -41,17 +44,29 @@ def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
             "parse_failures",
             "bytes_in",
             "bytes_out",
+            "extract_ms",
             F.current_timestamp().alias("committed_at"),
         )
     )
 
 
 def read_lineage(spark: SparkSession, lineage_path: str) -> DataFrame:
-    """Committed lineage, or an empty frame when none exists yet."""
+    """Committed lineage, or an empty frame when none exists yet.
+
+    ONLY path-not-found means 'no lineage yet'. Any other failure
+    (storage hiccup, permissions, corrupt footer) re-raises: treating
+    it as empty would let resume reprocess already-committed buckets
+    under a new run_id and permanently duplicate output rows.
+    """
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
-    except Exception:
-        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    except AnalysisException as exc:
+        cls = getattr(exc, "getErrorClass", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(exc):
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+        raise
 
 
 def filter_uncommitted(inputs_with_bucket: DataFrame, lineage: DataFrame) -> DataFrame:

@@ -50,6 +50,11 @@ class RunResult:
     failed_rows: int
     buckets_processed: int
     elapsed_s: float
+    # driver-side stage walls (reference timer stage tags,
+    # timer.py:36-129: 'write-jsonl' / 'finished-parsing'); per-bucket
+    # 'parser-parse' wall lives in the lineage rows (extract_ms)
+    write_s: float = 0.0
+    lineage_s: float = 0.0
 
 
 def _stage_inputs(
@@ -153,7 +158,9 @@ def run_extraction(
         ranked = successes(with_turn_rank(extracted)).withColumn(
             "run_id", F.lit(run_id)
         )
+        t_write = time.monotonic()
         append_data(ranked, data_path)
+        write_s = time.monotonic() - t_write
         lineage = lineage_rows(extracted, run_id)
         stats = (
             extracted.groupBy()
@@ -164,7 +171,9 @@ def run_extraction(
             )
             .collect()[0]
         )
+        t_lineage = time.monotonic()
         append_lineage(lineage, lineage_path)
+        lineage_s = time.monotonic() - t_lineage
     finally:
         extracted.unpersist()
 
@@ -176,6 +185,8 @@ def run_extraction(
         failed_rows=n - ok,
         buckets_processed=stats["buckets"] or 0,
         elapsed_s=time.monotonic() - t0,
+        write_s=write_s,
+        lineage_s=lineage_s,
     )
 
 

@@ -43,6 +43,11 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("bytes_in", T.LongType(), False),
         T.StructField("bytes_out", T.LongType(), False),
+        # per-row share of the Arrow batch's extraction wall time
+        # (micros) — summed per bucket into lineage extract_ms, the
+        # first-class twin of the reference's 'parser-parse' timer tag
+        # (timer.py:36-129)
+        T.StructField("extract_us", T.LongType(), False),
         T.StructField("bucket", T.IntegerType(), False),
         # md5 of the raw payload: deterministic total-order tiebreak for
         # (turn_idx, ts, role) ties — see operators/ordering.py.
@@ -62,6 +67,9 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("parse_failures", T.LongType(), False),
         T.StructField("bytes_in", T.LongType(), False),
         T.StructField("bytes_out", T.LongType(), False),
+        # per-stage wall time (reference timer.py:36-129 'parser-parse'
+        # tag); nullable so pre-v2 lineage files read as NULL
+        T.StructField("extract_ms", T.LongType(), True),
         T.StructField("committed_at", T.TimestampType(), False),
     ]
 )

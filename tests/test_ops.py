@@ -191,3 +191,17 @@ def test_multi_table_lsh_recall(spark):
                                            n_tables=2).collect()}
     assert (0, 1) in got and got[(0, 1)] >= 990     # near-identical pair found
     assert all(a != 2 and b != 2 for a, b in got)    # orthogonal vector excluded
+
+
+def test_multimodal_checksum_matches_pure_python():
+    """The numpy-vectorized checksum must equal the spec sum(blob) % MOD."""
+    from pdfwf_spark.operators.multimodal import (
+        CHECKSUM_MOD, _decode_batch, make_fake_media,
+    )
+    import numpy as np
+
+    blobs = [make_fake_media(i, k) for i, k in
+             [(3, "image"), (4, "audio"), (123456, "image")]] + [b""]
+    out = _decode_batch(np.array([0, 1, 2, 3]), blobs)
+    for i, b in enumerate(blobs):
+        assert out["checksum"][i] == sum(b) % CHECKSUM_MOD

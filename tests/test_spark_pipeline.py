@@ -170,3 +170,24 @@ def test_resume_antijoin_is_broadcast(spark, transcripts, tmp_path):
     )
     plan = remaining._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_lineage_carries_stage_timings(spark, tmp_path):
+    """Lineage schema v2: per-bucket extract_ms ('parser-parse' wall,
+    timer.py:36-129 analog) plus driver-side write/lineage walls."""
+    from datetime import datetime
+
+    from pdfwf_spark.pipeline import run_extraction
+    from pdfwf_spark.operators.lineage import read_lineage
+    from pdfwf_spark.schemas import TRANSCRIPT_SCHEMA
+
+    rows = [
+        ("c1", i, "user", f"body text {i} with several words", "", datetime(2025, 1, 1))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    res = run_extraction(spark, df, str(tmp_path / "o"), resume=False)
+    assert res.write_s > 0 and res.lineage_s > 0
+    lin = read_lineage(spark, str(tmp_path / "o") + "/lineage").collect()
+    assert len(lin) >= 1
+    assert all(r["extract_ms"] is not None and r["extract_ms"] >= 0 for r in lin)

@@ -36,3 +36,84 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     g = {(r["conv_id"], r["turn_rank"]): r["clean_text"] for r in got.collect()}
     w = {(r["conv_id"], r["turn_rank"]): r["clean_text"] for r in want.collect()}
     assert g == w
+
+
+def test_stream_rank_continues_across_micro_batches(spark, tmp_path):
+    """A conv spanning multiple micro-batches must get ranks 1..n, not
+    1..k per epoch (colliding keys)."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    src = str(tmp_path / "src2")
+    base = datetime(2025, 1, 1)
+
+    def rows(turns):
+        return [
+            ("conv-x", t, "user", f"turn body {t} with words", "", base)
+            for t in turns
+        ]
+
+    # two part-files FLAT in one source dir (file streams don't recurse
+    # into nested non-partition dirs); mtimes force arrival order
+    import glob as _glob
+    import shutil as _shutil
+
+    os.makedirs(src)
+    now = _time.time()
+    for name, turns, mtime in (("one", [0, 1, 2], now), ("two", [3, 4, 5], now + 10)):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows(turns), TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(staging)
+        part = _glob.glob(staging + "/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        _shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    out = str(tmp_path / "out2")
+    q = start_ingest(
+        spark, src, out, str(tmp_path / "ckpt2"),
+        n_buckets=8, n_partitions=4, max_files_per_trigger=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from pdfwf_spark.pipeline import read_output
+
+    got = sorted(
+        (r["turn_idx"], r["turn_rank"])
+        for r in read_output(spark, out).filter("conv_id='conv-x'").collect()
+    )
+    ranks = [rk for _, rk in got]
+    assert len(ranks) == 6
+    assert sorted(ranks) == [1, 2, 3, 4, 5, 6]          # no collisions
+    assert got == [(t, t + 1) for t in range(6)]         # continuation in order
+
+
+def test_stream_replayed_epoch_is_noop(spark, tmp_path):
+    """An epoch whose run_id is already committed in lineage must be
+    skipped (at-least-once replay -> effectively-once sink)."""
+    from pdfwf_spark.operators.lineage import read_lineage
+    from pdfwf_spark.schemas import LINEAGE_SCHEMA
+    from datetime import datetime
+
+    src = str(tmp_path / "src3")
+    rows = [("conv-y", 0, "user", "payload body words", "", datetime(2025, 1, 1))]
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(src)
+
+    out = str(tmp_path / "out3")
+    # pre-commit lineage for epoch 0 under the default prefix
+    pre = spark.createDataFrame(
+        [("stream-0", 0, 1, 1, 0, 10, 10, 5, datetime(2025, 1, 1))], LINEAGE_SCHEMA
+    )
+    pre.write.parquet(out + "/lineage")
+
+    q = start_ingest(spark, src, out, str(tmp_path / "ckpt3"), n_buckets=8, n_partitions=4)
+    q.processAllAvailable()
+    q.stop()
+
+    # the replayed epoch appended NOTHING: lineage still has 1 row and
+    # no data directory was created
+    assert read_lineage(spark, out + "/lineage").count() == 1
+    import os
+
+    assert not os.path.exists(out + "/turns")
