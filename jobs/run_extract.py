@@ -42,6 +42,12 @@ def main() -> None:
                     help="input limit (reference num_conversions analog)")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--markdown-compat", action="store_true",
+                    help="F7 markdown repair pass on clean_text "
+                         "(reference nougat --markdown flag analog)")
+    ap.add_argument("--rebalance-rows", type=int, default=None,
+                    help="post-run S9 rebalance: re-shard {output}/turns "
+                         "to exactly N rows per file (balance.py analog)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -67,7 +73,19 @@ def main() -> None:
         n_partitions=args.partitions,
         n_salts=args.salts,
         resume=not args.no_resume,
+        markdown_compat=args.markdown_compat,
     )
+    if args.rebalance_rows:
+        from pdfwf_spark.operators.rebalance import rebalance_files
+
+        n_files = rebalance_files(
+            spark,
+            f"{args.output}/turns",
+            f"{args.output}/turns_balanced",
+            args.rebalance_rows,
+            order_by=["conv_id", "turn_rank"],
+        )
+        result.__dict__["balanced_file_groups"] = n_files
     json.dump(result.__dict__, sys.stdout)
     print()
     spark.stop()

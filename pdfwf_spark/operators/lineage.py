@@ -63,7 +63,10 @@ def read_lineage(spark: SparkSession, lineage_path: str) -> DataFrame:
     try:
         return spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
     except AnalysisException as exc:
-        cls = getattr(exc, "getErrorClass", lambda: None)() or ""
+        getter = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        cls = (getter() if getter else None) or ""
         if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(exc):
             return spark.createDataFrame([], LINEAGE_SCHEMA)
         raise

