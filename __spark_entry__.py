@@ -4,8 +4,9 @@ entry(spark)      — flagship: full extraction pipeline over transcripts
                     synthesized deterministically from sf0.001 tables.
 queries()         — one entry per implemented operator (SURVEY.md §2 +
                     the training-data ops); each takes (spark, sf_dir).
-oracle_sql()      — DuckDB-equivalent ANSI SQL per query (omitted for
-                    parser-UDF / xxhash-based ops -> rows-only check).
+oracle_sql()      — DuckDB-equivalent ANSI SQL per query (omitted only
+                    for parser-UDF / binary-plumbing ops -> rows-only
+                    check; all hashing is md5 so DuckDB mirrors it).
 
 Column names are aliased identically on both sides; float-derived
 values are exported as integer milli/cents units so value hashes

@@ -89,3 +89,49 @@ def test_exact_dedup_single_shuffle(spark):
     plan = _plan(exact_dedup(docs))
     assert plan.count("Exchange") <= 2  # AQE may show shuffle read wrappers
     assert "partial" in plan.lower() or "HashAggregate" in plan  # map-side combine
+
+
+def test_lsh_literal_planes_keep_md5_out_of_plan(spark):
+    """Hyperplane components are embedded as literal arrays: the plan
+    must contain NO md5 call (Catalyst does not constant-fold md5
+    inside higher-order lambdas — evaluated per row x element x plane
+    otherwise) and the candidate join must be an equi-join, never a
+    cartesian product."""
+    from pdfwf_spark.operators.similarity import bucketed_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(bucketed_neardup_pairs(emb, threshold_milli=300, n_planes=4,
+                                        n_tables=2))
+    assert "md5" not in plan, "plane md5 leaked into the executor plan"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_band_pairs_equi_join_and_hash_agg(spark):
+    """Band candidates come from an equi-self-join on (band_idx,
+    band_val); the 64 majority sums must be a HashAggregate (fixed-
+    width int lanes -> map-side combine), never a cartesian blowup."""
+    from pdfwf_spark.operators.dedup import simhash_band_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(simhash_band_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_rebalance_index_avoids_single_partition_window(spark):
+    """The contiguous index must come from per-partition windows +
+    broadcast offsets — NEVER a global Window over one partition
+    (the classic rebalancer scale-killer)."""
+    from pdfwf_spark.operators.rebalance import _staged_with_index
+
+    df = spark.range(1000).repartition(6)
+    indexed, handle, total = _staged_with_index(df, None)
+    try:
+        plan = _plan(indexed)
+        assert total == 1000
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "BroadcastExchange" in plan  # offsets join broadcasts
+    finally:
+        handle.unpersist()
