@@ -452,6 +452,34 @@ def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_neardup_pairs(emb, threshold_milli=300, n_planes=4, n_tables=2)
 
 
+def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse centroids (vec_id < 16), probe the
+    4 nearest cells per query — the second ANN scale path next to the
+    hyperplane LSH (scan n_probe cells instead of the corpus)."""
+    from pdfwf_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation composition: exact-dedup keepers ->
+    quality floor -> language filter. One shuffle for the dedup
+    groupBy; quality/lang are scan-side codegen'd expressions."""
+    from pdfwf_spark.operators.dedup import exact_dedup
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+    from pdfwf_spark.operators.textstats import with_lang_id, with_quality_score
+
+    docs = repartition_for_scan(_t(spark, sf_dir, "documents"))
+    keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    scored = with_lang_id(with_quality_score(kept))
+    return scored.filter(
+        (F.col("quality_milli") >= 500) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "n_tokens", "quality_milli")
+
+
 def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # textstats.token_count maps blank/whitespace-only text to 0
     # (split('') -> [''] would otherwise count 1), matching the oracle.
@@ -581,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_neardup_exact": _q_emb_neardup_exact,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
+        "emb_ivf_topk": _q_emb_ivf_topk,
+        "curate_corpus": _q_curate_corpus,
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -995,6 +1025,73 @@ def oracle_sql() -> dict[str, str]:
             FROM v l JOIN v r ON l.vec_id < r.vec_id
             WHERE CAST(ROUND(1000 * list_sum(list_transform(range(1, len(l.vec) + 1),
                     i -> l.vec[i] * r.vec[i])) / (l.nrm * r.nrm)) AS INT) >= 300
+        """,
+        "emb_ivf_topk": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec,
+                     sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+              FROM embeddings),
+            cents AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cnrm FROM v WHERE vec_id < 16),
+            ascore AS (
+              SELECT a.vec_id, c.cid,
+                     CAST(ROUND(1000 * list_sum(list_transform(range(1, len(a.vec) + 1),
+                            j -> a.vec[j] * c.cvec[j])) / (a.nrm * c.cnrm)) AS INT) AS cosm
+              FROM v a CROSS JOIN cents c),
+            assign AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosm DESC, cid) AS rn
+                FROM ascore) t WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS q_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosm DESC, cid) AS rn
+                FROM ascore WHERE vec_id < 5) t WHERE rn <= 4),
+            scored AS (
+              SELECT p.q_id, a.vec_id AS n_id,
+                     CAST(ROUND(1000 * list_sum(list_transform(range(1, len(cv.vec) + 1),
+                            j -> cv.vec[j] * qv.vec[j])) / (cv.nrm * qv.nrm)) AS INT) AS cos_milli
+              FROM probes p
+              JOIN assign a ON a.cell = p.cell
+              JOIN v cv ON cv.vec_id = a.vec_id
+              JOIN v qv ON qv.vec_id = p.q_id
+              WHERE a.vec_id <> p.q_id)
+            SELECT q_id, n_id, rnk AS rank, cos_milli FROM (
+              SELECT q_id, n_id, cos_milli,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos_milli DESC, n_id) AS rnk
+              FROM scored) t WHERE rnk <= 5
+        """,
+        "curate_corpus": rf"""
+            WITH keepers AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            base AS (
+              SELECT d.doc_id, d.text, {_TOKS.replace("text", "d.text")} AS t,
+                     length(d.text) AS nc,
+                     length(d.text) - length(regexp_replace(d.text, '[.,;:!?]', '', 'g')) AS np
+              FROM documents d JOIN keepers k ON k.doc_id = d.doc_id),
+            feats AS (
+              SELECT doc_id, len(t) AS n_tokens,
+                     CAST(ROUND(1000.0 * len(list_filter(t,
+                        x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on'))) / len(t)) AS INT) AS stopword_milli,
+                     CAST(ROUND(1000.0 * np / greatest(nc, 1)) AS INT) AS punct_milli,
+                     CAST(ROUND(1000.0 * length(regexp_replace(text, '\s+', '', 'g')) / len(t)) AS INT) AS avg_token_len_milli,
+                     len(list_filter(t, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
+                     len(list_filter(t, x -> x IN ('el','la','de','que','y','los'))) AS s_es,
+                     len(list_filter(t, x -> x IN ('le','la','les','des','et','un'))) AS s_fr
+              FROM base),
+            scored AS (
+              SELECT doc_id, n_tokens,
+                     CAST(least(stopword_milli * 3, 400)
+                          + CASE WHEN avg_token_len_milli BETWEEN 3000 AND 9000 THEN 300 ELSE 0 END
+                          + greatest(0, 300 - punct_milli * 3) AS INT) AS quality_milli,
+                     CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                          WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                          WHEN s_fr > 0 THEN 'fr'
+                          ELSE 'und' END AS lang_pred
+              FROM feats)
+            SELECT doc_id, n_tokens, quality_milli
+            FROM scored WHERE quality_milli >= 500 AND lang_pred = 'en'
         """,
         "text_token_count": rf"""
             SELECT doc_id,

@@ -237,3 +237,23 @@ def test_hyperplane_literal_fast_path_matches_md5_slow_path(spark):
         hyperplane_bucket("embedding", 6, seed=9, table=1, dim=None).alias("slow"),
     ).collect()
     assert all(r["fast"] == r["slow"] for r in out)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with n_probe == n_centroids degrades to exact brute force;
+    with fewer probes it returns a subset-quality approximation whose
+    top-1 usually survives (sanity on the real embeddings table)."""
+    from pdfwf_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 3")
+    exact = {(r["q_id"], r["rank"]): r["n_id"]
+             for r in cosine_topk(emb, queries, k=3).collect()}
+    full_probe = {(r["q_id"], r["rank"]): r["n_id"]
+                  for r in ivf_topk(emb, queries, k=3, n_centroids=8,
+                                    n_probe=8).collect()}
+    assert full_probe == exact          # all cells probed == brute force
+    approx = ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2).collect()
+    assert len(approx) > 0
+    got = {r["n_id"] for r in approx}
+    assert got <= {r["n_id"] for r in cosine_topk(emb, queries, k=200).collect()}
