@@ -362,6 +362,32 @@ def _q_j3_stem_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_keys.join(ev_keys, "stem").select("doc_id", "stem", "n_events")
 
 
+def _q_j_multiway_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General relational smoke (TPC-H Q3 shape): broadcast dim filter
+    -> two shuffled equi-joins -> agg -> deterministic top-10. Shows
+    the engine handles classic multiway join/agg/sort plans beyond the
+    reference's own operator set (SURVEY §2.3: reference has no
+    relational joins)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfwf_spark.operators.dedup import exact_dedup
 
@@ -598,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_distinct": _q_a_distinct,
         "a_rollup": _q_a_rollup,
         "j3_stem_pair_join": _q_j3_stem_pair_join,
+        "j_multiway_topk": _q_j_multiway_topk,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sig": _q_dedup_minhash_sig,
         "dedup_simhash": _q_dedup_simhash,
@@ -851,6 +878,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id % 4 AS stem, COUNT(*) AS n_events
                   FROM events GROUP BY 1) e
               ON e.stem = CAST(regexp_extract(d.source, 'src(\d+)', 1) AS INT)
+        """,
+        "j_multiway_topk": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   (SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)))::BIGINT AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue_cents DESC, l.l_orderkey ASC
+            LIMIT 10
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
