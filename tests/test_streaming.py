@@ -117,3 +117,80 @@ def test_stream_replayed_epoch_is_noop(spark, tmp_path):
     import os
 
     assert not os.path.exists(out + "/turns")
+
+
+def test_stateful_session_operator(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: gap-closed sessions
+    emit immediately; the trailing open session closes when the
+    event-time watermark passes last_ts + gap."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from pdfwf_spark.streaming.sessions import start_session_agg
+
+    src = str(tmp_path / "ssrc")
+    os.makedirs(src)
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+
+    def write_file(name, rows, mtime):
+        staging = str(tmp_path / f"sstage_{name}")
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(staging)
+        part = _glob.glob(staging + "/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        _shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    # conv-a: two turns 10s apart, then a 2h gap -> first session closes by gap
+    write_file("f1", [
+        ("conv-a", 0, "user", "t0", "", t0),
+        ("conv-a", 1, "user", "t1", "", t0 + timedelta(seconds=10)),
+        ("conv-a", 2, "user", "t2", "", t0 + timedelta(hours=2)),
+    ], now)
+    # conv-b much later: advances the watermark past conv-a's open session
+    write_file("f2", [("conv-b", 0, "user", "x", "", t0 + timedelta(days=2))], now + 10)
+    # third batch so the timeout fires after the watermark advanced
+    write_file("f3", [("conv-b", 1, "user", "y", "", t0 + timedelta(days=2, seconds=5))],
+               now + 20)
+
+    out = str(tmp_path / "sout")
+    q = start_session_agg(
+        spark, src, out, str(tmp_path / "sckpt"),
+        gap_s=60, watermark="10 seconds", max_files_per_trigger=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(out).collect()
+    by_key = {(r["conv_id"], r["closed_by"], r["n_turns"]): r for r in got}
+    # gap-closed: the 2-turn opening segment of conv-a
+    gap_row = by_key[("conv-a", "gap", 2)]
+    assert gap_row["session_start"] == t0
+    assert gap_row["session_end"] == t0 + timedelta(seconds=10)
+    # timeout-closed: conv-a's trailing 1-turn segment after watermark passed
+    assert ("conv-a", "timeout", 1) in by_key
+
+
+def test_batch_sessions_twin_matches_stateful_semantics(spark):
+    """batch_sessions (the SQL twin) reproduces the stateful operator's
+    gap-split segments on the same data."""
+    from datetime import datetime, timedelta
+
+    from pdfwf_spark.streaming.sessions import batch_sessions
+
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        ("conv-a", 0, "user", "t0", "", t0),
+        ("conv-a", 1, "user", "t1", "", t0 + timedelta(seconds=10)),
+        ("conv-a", 2, "user", "t2", "", t0 + timedelta(hours=2)),
+        ("conv-b", 0, "user", "x", "", t0),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = {(r["conv_id"], r["session_no"]): (r["session_start"], r["session_end"], r["n_turns"])
+           for r in batch_sessions(df, gap_s=60).collect()}
+    assert got[("conv-a", 1)] == (t0, t0 + timedelta(seconds=10), 2)
+    assert got[("conv-a", 2)] == (t0 + timedelta(hours=2), t0 + timedelta(hours=2), 1)
+    assert got[("conv-b", 1)] == (t0, t0, 1)
