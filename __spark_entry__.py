@@ -427,6 +427,24 @@ def _q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_band_pairs(docs, max_hamming=16)
 
 
+def _q_dedup_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash, 4x32-bit bands — the CORPUS-SCALE variant:
+    band bucket space 2^32 (16-bit bands saturate ~10^5 docs)."""
+    from pdfwf_spark.operators.dedup import simhash_bands
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_bands(docs, bits=128, n_bands=4)
+
+
+def _q_simhash_band_pairs128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming pairs over the 128-bit hash (complete for
+    Hamming<=3; 32 here for recall on small SF)."""
+    from pdfwf_spark.operators.dedup import simhash_band_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_band_pairs(docs, max_hamming=32, bits=128, n_bands=4)
+
+
 def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfwf_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -630,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash64": _q_dedup_simhash64,
         "simhash_band_pairs": _q_simhash_band_pairs,
+        "dedup_simhash128": _q_dedup_simhash128,
+        "simhash_band_pairs128": _q_simhash_band_pairs128,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_lsh_verified": _q_dedup_lsh_verified,
@@ -670,8 +690,14 @@ _MINHASH_SIG_SQL = (
     + f" FROM ({_SHINGLES}) GROUP BY doc_id"
 )
 
-# 64-bit simhash as 4x16-bit bands (mirror of operators.dedup.simhash64)
-_SIMHASH64_PIV = r"""
+# banded simhash piv SQL (mirror of operators.dedup.simhash_bands)
+def _simhash_piv_sql(bits: int, n_bands: int) -> str:
+    band_bits = bits // n_bands
+    cases = ", ".join(
+        f"(MAX(CASE WHEN b = {b} THEN band_val END))::BIGINT AS band_{b}"
+        for b in range(n_bands)
+    )
+    return rf"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
       FROM documents
@@ -682,24 +708,59 @@ _SIMHASH64_PIV = r"""
                (((strpos('0123456789abcdef', substr(md5(tok), p // 4 + 1, 1)) - 1)
                  >> (3 - (p % 4))) & 1) * 2 - 1) > 0
              THEN 1 ELSE 0 END AS bit
-      FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS p) ps
+      FROM tok CROSS JOIN (SELECT unnest(range(0, {bits})) AS p) ps
       WHERE tok <> ''
       GROUP BY doc_id, p
     ),
     bands AS (
-      SELECT doc_id, (p // 16)::INT AS b,
-             SUM((bit::BIGINT) << (p % 16))::BIGINT AS band_val
-      FROM bits GROUP BY doc_id, p // 16
+      SELECT doc_id, (p // {band_bits})::INT AS b,
+             SUM((bit::BIGINT) << (p % {band_bits}))::BIGINT AS band_val
+      FROM bits GROUP BY doc_id, p // {band_bits}
     ),
     piv AS (
-      SELECT doc_id,
-             (MAX(CASE WHEN b = 0 THEN band_val END))::BIGINT AS band_0,
-             (MAX(CASE WHEN b = 1 THEN band_val END))::BIGINT AS band_1,
-             (MAX(CASE WHEN b = 2 THEN band_val END))::BIGINT AS band_2,
-             (MAX(CASE WHEN b = 3 THEN band_val END))::BIGINT AS band_3
+      SELECT doc_id, {cases}
       FROM bands GROUP BY doc_id
     )
 """
+
+
+def _simhash_bands_select_sql(bits: int, n_bands: int) -> str:
+    band_bits = bits // n_bands
+    hex_w = band_bits // 4
+    bandcols = ", ".join(f"band_{b}" for b in range(n_bands))
+    hexcat = " || ".join(
+        f"lpad(lower(to_hex(band_{b})), {hex_w}, '0')"
+        for b in reversed(range(n_bands))
+    )
+    return (
+        f"{_simhash_piv_sql(bits, n_bands)}"
+        f" SELECT doc_id, {bandcols}, {hexcat} AS simhash_hex FROM piv"
+    )
+
+
+def _simhash_band_pairs_sql(bits: int, n_bands: int, max_hamming: int) -> str:
+    ex_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_val FROM piv"
+        for b in range(n_bands)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(pa.band_{b}, pb.band_{b}))" for b in range(n_bands)
+    )
+    return f"""
+        {_simhash_piv_sql(bits, n_bands)},
+        ex AS ({ex_union}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM ex a JOIN ex b2
+            ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val
+           AND a.doc_id < b2.doc_id)
+        SELECT id_a, id_b, hamming FROM (
+          SELECT c.id_a, c.id_b, ({ham})::INT AS hamming
+          FROM cands c
+          JOIN piv pa ON pa.doc_id = c.id_a
+          JOIN piv pb ON pb.doc_id = c.id_b) t
+        WHERE hamming <= {max_hamming}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -914,38 +975,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, SUM(bit)::BIGINT AS simhash FROM bits GROUP BY doc_id
         """,
-        "dedup_simhash64": f"""
-            {_SIMHASH64_PIV}
-            SELECT doc_id, band_0, band_1, band_2, band_3,
-                   lpad(lower(to_hex(band_3)), 4, '0') ||
-                   lpad(lower(to_hex(band_2)), 4, '0') ||
-                   lpad(lower(to_hex(band_1)), 4, '0') ||
-                   lpad(lower(to_hex(band_0)), 4, '0') AS simhash_hex
-            FROM piv
-        """,
-        "simhash_band_pairs": f"""
-            {_SIMHASH64_PIV},
-            ex AS (
-              SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM piv
-              UNION ALL SELECT doc_id, 1, band_1 FROM piv
-              UNION ALL SELECT doc_id, 2, band_2 FROM piv
-              UNION ALL SELECT doc_id, 3, band_3 FROM piv),
-            cands AS (
-              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-              FROM ex a JOIN ex b2
-                ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val
-               AND a.doc_id < b2.doc_id)
-            SELECT id_a, id_b, hamming FROM (
-              SELECT c.id_a, c.id_b,
-                     (bit_count(xor(pa.band_0, pb.band_0))
-                      + bit_count(xor(pa.band_1, pb.band_1))
-                      + bit_count(xor(pa.band_2, pb.band_2))
-                      + bit_count(xor(pa.band_3, pb.band_3)))::INT AS hamming
-              FROM cands c
-              JOIN piv pa ON pa.doc_id = c.id_a
-              JOIN piv pb ON pb.doc_id = c.id_b) t
-            WHERE hamming <= 16
-        """,
+        "dedup_simhash64": _simhash_bands_select_sql(64, 4),
+        "dedup_simhash128": _simhash_bands_select_sql(128, 4),
+        "simhash_band_pairs": _simhash_band_pairs_sql(64, 4, 16),
+        "simhash_band_pairs128": _simhash_band_pairs_sql(128, 4, 32),
         "emb_neardup_lsh": """
             WITH v AS (
               SELECT vec_id, embedding::DOUBLE[] AS vec,

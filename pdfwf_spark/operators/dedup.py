@@ -219,33 +219,57 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 SIMHASH64_BITS = 64
 SIMHASH64_BANDS = 4          # 4 bands x 16 bits
-_BAND_BITS = SIMHASH64_BITS // SIMHASH64_BANDS
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash as 4 x 16-bit band columns + a hex fingerprint.
+def simhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    n_bands: int = 4,
+) -> DataFrame:
+    """`bits`-bit SimHash as n_bands band columns + a hex fingerprint.
 
-    Band representation (band_0 = bits 0..15, ... band_3 = bits
-    48..63) sidesteps signed-64 overflow at bit 63, gives the banded
-    Hamming grouping its join keys for free, and lets a DuckDB oracle
-    mirror the value bit-for-bit. simhash_hex = big-endian hex concat
-    (band_3 leftmost).
+    Band representation (band_0 = lowest bits, band_{n-1} = highest)
+    sidesteps signed-64 overflow, gives the banded Hamming grouping
+    its join keys for free, and lets a DuckDB oracle mirror the value
+    bit-for-bit. simhash_hex = big-endian hex concat (last band
+    leftmost).
+
+    Scale note on band WIDTH: candidate buckets hold ~N / 2^band_bits
+    docs, so 16-bit bands (the 64-bit default) saturate around
+    10^5-10^6 docs the same way a 16-bit fingerprint saturates at 65k.
+    At corpus scale use bits=128 / n_bands=4 (32-bit bands, 2^32
+    bucket space — md5 supplies all 128 bits); the
+    Hamming <= n_bands-1 completeness guarantee is unchanged.
     """
-    sums = _bit_majority_sums(docs, text_col, id_col, SIMHASH64_BITS)
+    if bits % n_bands != 0 or bits > 128:
+        raise ValueError("bits must divide into n_bands and be <= 128 (md5)")
+    band_bits = bits // n_bands
+    if band_bits > 32 or band_bits % 4 != 0:
+        raise ValueError("band width must be <= 32 bits and a multiple of 4")
+    sums = _bit_majority_sums(docs, text_col, id_col, bits)
     band_cols = []
-    for b in range(SIMHASH64_BANDS):
+    for b in range(n_bands):
         band = None
-        for r in range(_BAND_BITS):
-            p = b * _BAND_BITS + r
+        for r in range(band_bits):
+            p = b * band_bits + r
             term = F.when(F.col(f"s_{p}") > 0, F.lit(1 << r)).otherwise(F.lit(0))
             band = term if band is None else band + term
         band_cols.append(band.cast("long").alias(f"band_{b}"))
     with_bands = sums.select(F.col("id").alias(id_col), *band_cols)
+    hex_w = band_bits // 4
     hex_parts = [
-        F.lpad(F.lower(F.hex(F.col(f"band_{b}"))), 4, "0")
-        for b in reversed(range(SIMHASH64_BANDS))
+        F.lpad(F.lower(F.hex(F.col(f"band_{b}"))), hex_w, "0")
+        for b in reversed(range(n_bands))
     ]
     return with_bands.withColumn("simhash_hex", F.concat(*hex_parts))
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash (4 x 16-bit bands); see simhash_bands for the
+    corpus-scale 128-bit variant."""
+    return simhash_bands(docs, text_col, id_col, SIMHASH64_BITS, SIMHASH64_BANDS)
 
 
 def simhash_band_pairs(
@@ -253,21 +277,25 @@ def simhash_band_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 16,
+    bits: int = 64,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """Near-dup candidates by banded Hamming grouping over simhash64.
+    """Near-dup candidates by banded Hamming grouping over a banded
+    SimHash.
 
-    Docs sharing ANY 16-bit band collide in an equi-self-join on
+    Docs sharing ANY band collide in an equi-self-join on
     (band_idx, band_val) — never all-pairs. By pigeonhole, every pair
-    with Hamming distance <= 3 shares at least one of the 4 bands, so
-    max_hamming <= 3 gives a COMPLETE result; larger thresholds are
-    best-effort recall (standard banding trade-off). Output:
-    id_a, id_b, hamming.
+    with Hamming distance <= n_bands-1 shares at least one band, so
+    max_hamming <= n_bands-1 gives a COMPLETE result; larger
+    thresholds are best-effort recall (standard banding trade-off).
+    At corpus scale pass bits=128 (32-bit band space; see
+    simhash_bands). Output: id_a, id_b, hamming.
     """
-    sigs = simhash64(docs, text_col, id_col)
+    sigs = simhash_bands(docs, text_col, id_col, bits, n_bands)
     entries = F.array(
         *[
             F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_val"))
-            for b in range(SIMHASH64_BANDS)
+            for b in range(n_bands)
         ]
     )
     exploded = sigs.select(
@@ -286,14 +314,14 @@ def simhash_band_pairs(
     )
     sa = sigs.select(
         F.col(id_col).alias("id_a"),
-        *[F.col(f"band_{b}").alias(f"a_band_{b}") for b in range(SIMHASH64_BANDS)],
+        *[F.col(f"band_{b}").alias(f"a_band_{b}") for b in range(n_bands)],
     )
     sb = sigs.select(
         F.col(id_col).alias("id_b"),
-        *[F.col(f"band_{b}").alias(f"b_band_{b}") for b in range(SIMHASH64_BANDS)],
+        *[F.col(f"band_{b}").alias(f"b_band_{b}") for b in range(n_bands)],
     )
     hamming = None
-    for b in range(SIMHASH64_BANDS):
+    for b in range(n_bands):
         term = F.bit_count(
             F.col(f"a_band_{b}").bitwiseXOR(F.col(f"b_band_{b}"))
         )
