@@ -51,11 +51,16 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash64",
     "simhash_band_pairs",
+    "dedup_simhash128",
+    "simhash_band_pairs128",
     "dedup_jaccard_pairs",
     "dedup_lsh_pairs",
     "dedup_lsh_verified",
     "emb_cosine_topk",
     "emb_neardup_lsh",
+    "emb_ivf_topk",
+    "curate_corpus",
+    "j_multiway_topk",
     "text_quality",
     "text_langid",
     "text_fingerprint",
