@@ -597,6 +597,39 @@ def _q_extract_plain_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "turn_rank", "clean_text")
 
 
+def _q_extract_html_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship parity slice for the HTML family: the boilerplate
+    stripper must keep exactly the <article> body (nav/footer/cookie
+    dropped, whitespace squeezed) and emit the <title> meta — all
+    reproducible in SQL for the synthetic wrap."""
+    from pdfwf_spark.pipeline import extract_df
+
+    transcripts = _synth_transcripts(spark, sf_dir)
+    out = extract_df(transcripts, n_buckets=16)
+    return out.filter(
+        (F.col("parser") == "html") & (F.col("parse_status") == "ok")
+    ).select(
+        "conv_id", "turn_idx", "turn_rank", "clean_text",
+        F.col("meta")["title"].alias("title"),
+    )
+
+
+def _q_extract_pdfish_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship parity slice for the PDF-ish family: layout parse of
+    the synthetic one-page wrap = the body block's text (footer class
+    excluded, title into meta), ws-collapsed."""
+    from pdfwf_spark.pipeline import extract_df
+
+    transcripts = _synth_transcripts(spark, sf_dir)
+    out = extract_df(transcripts, n_buckets=16)
+    return out.filter(
+        (F.col("parser") == "pdfish") & (F.col("parse_status") == "ok")
+    ).select(
+        "conv_id", "turn_idx", "turn_rank", "clean_text",
+        F.col("meta")["title"].alias("title"),
+    )
+
+
 def _q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only — multimodal binary plumbing (decode stubbed;
     payloads built and checksummed numpy-vectorized per Arrow batch)."""
@@ -664,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "extract_pipeline": _q_extract_pipeline,
         "extract_plain_parity": _q_extract_plain_parity,
+        "extract_html_parity": _q_extract_html_parity,
+        "extract_pdfish_parity": _q_extract_pdfish_parity,
         "mm_media_meta": _q_mm_media_meta,
     }
 
@@ -1223,6 +1258,42 @@ def oracle_sql() -> dict[str, str]:
                        '\n{3,}', chr(10)||chr(10), 'g'),
                      '^\s+|\s+$', '', 'g') AS clean_text
             FROM ranked WHERE fam = 2
+        """,
+        "extract_html_parity": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     'conv-' || lpad((doc_id % 50)::VARCHAR, 6, '0') AS conv_id,
+                     (doc_id // 50) AS turn_idx,
+                     doc_id % 3 AS fam, text
+              FROM documents),
+            ranked AS (
+              SELECT conv_id, turn_idx, fam, text,
+                     (ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx))::INT AS turn_rank
+              FROM t)
+            SELECT conv_id, turn_idx::INT AS turn_idx, turn_rank,
+                   regexp_replace(
+                     regexp_replace(text, '[ \t\r\f\v]+', ' ', 'g'),
+                     '^\s+|\s+$', '', 'g') AS clean_text,
+                   'doc' AS title
+            FROM ranked WHERE fam = 0
+        """,
+        "extract_pdfish_parity": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     'conv-' || lpad((doc_id % 50)::VARCHAR, 6, '0') AS conv_id,
+                     (doc_id // 50) AS turn_idx,
+                     doc_id % 3 AS fam, text
+              FROM documents),
+            ranked AS (
+              SELECT conv_id, turn_idx, fam, text,
+                     (ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx))::INT AS turn_rank
+              FROM t)
+            SELECT conv_id, turn_idx::INT AS turn_idx, turn_rank,
+                   regexp_replace(
+                     regexp_replace(text, '(\n\s*)+', chr(10), 'g'),
+                     '^\s+|\s+$', '', 'g') AS clean_text,
+                   'synthetic doc' AS title
+            FROM ranked WHERE fam = 1
         """,
         "text_fingerprint": rf"""
             WITH tok AS (
