@@ -869,18 +869,20 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             c AS (
               SELECT doc_id, payload,
-                     trim(regexp_replace(payload, '\n{3,}', chr(10)||chr(10), 'g')) AS clean,
-                     trim(regexp_extract(payload, '(?m)^Subject:[ \t]*(.*)$', 1)) AS subject
+                     regexp_replace(regexp_replace(payload, '\n{3,}', chr(10)||chr(10), 'g'),
+                                    '^\s+|\s+$', '', 'g') AS clean,
+                     regexp_replace(regexp_extract(payload, '(?m)^Subject:[ \t]*(.*)$', 1),
+                                    '^\s+|\s+$', '', 'g') AS subject
               FROM p)
             SELECT doc_id,
-                   trim(regexp_extract(payload, '(?m)^Title:[ \t]*(.*)$', 1)) AS title,
-                   trim(regexp_extract(payload, '(?m)^Authors?:[ \t]*(.*)$', 1)) AS authors,
-                   trim(regexp_extract(payload, '(?m)^(?:Creation-Date|Created|Date):[ \t]*(.*)$', 1)) AS creationdate,
-                   trim(regexp_extract(payload, '(?m)^Keywords:[ \t]*(.*)$', 1)) AS keywords,
+                   regexp_replace(regexp_extract(payload, '(?m)^Title:[ \t]*(.*)$', 1), '^\s+|\s+$', '', 'g') AS title,
+                   regexp_replace(regexp_extract(payload, '(?m)^Authors?:[ \t]*(.*)$', 1), '^\s+|\s+$', '', 'g') AS authors,
+                   regexp_replace(regexp_extract(payload, '(?m)^(?:Creation-Date|Created|Date):[ \t]*(.*)$', 1), '^\s+|\s+$', '', 'g') AS creationdate,
+                   regexp_replace(regexp_extract(payload, '(?m)^Keywords:[ \t]*(.*)$', 1), '^\s+|\s+$', '', 'g') AS keywords,
                    regexp_extract(payload, '(?:doi:\s*|doi\.org/)(\S+)', 1) AS doi,
-                   trim(regexp_extract(payload, '(?m)^Producer:[ \t]*(.*)$', 1)) AS producer,
+                   regexp_replace(regexp_extract(payload, '(?m)^Producer:[ \t]*(.*)$', 1), '^\s+|\s+$', '', 'g') AS producer,
                    'plain' AS format,
-                   string_split(clean, chr(10)||chr(10))[1] AS first_page,
+                   substr(string_split(clean, chr(10)||chr(10))[1], 1, 2000) AS first_page,
                    CASE WHEN length(subject) > 580 THEN subject ELSE '' END AS abstract
             FROM c
         """,
@@ -897,7 +899,7 @@ def oracle_sql() -> dict[str, str]:
                          '(?m)^\\\[(.+)\\\] \(([0-9][0-9.]*[A-Za-z]?)\)$',
                          '\\[\1 \\tag{\2}\\]', 'g'),
                        '\bm{', '\mathbf{'), '\. ', '. '),
-                     '(?m)(^|[\s(])(https?://[^\s<>)\]"'']+)', '\1[\2](\2)', 'g') AS md_text
+                     '(?m)(^|\s)(https?://[^\s<>)\]"'']+)', '\1[\2](\2)', 'g') AS md_text
             FROM (
               SELECT doc_id,
                      '#Intro ' || doc_id || chr(10) ||

@@ -76,11 +76,13 @@ def main() -> None:
         markdown_compat=args.markdown_compat,
     )
     if args.rebalance_rows:
-        from pdfwf_spark.operators.rebalance import rebalance_files
+        # rebalance the COMMITTED view (read_output hides orphan rows
+        # from attempts that crashed between data and lineage appends)
+        from pdfwf_spark.operators.rebalance import rebalance
+        from pdfwf_spark.pipeline import read_output
 
-        n_files = rebalance_files(
-            spark,
-            f"{args.output}/turns",
+        n_files = rebalance(
+            read_output(spark, args.output),
             f"{args.output}/turns_balanced",
             args.rebalance_rows,
             order_by=["conv_id", "turn_rank"],

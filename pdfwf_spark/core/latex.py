@@ -149,12 +149,33 @@ def _convert(s: str) -> str:
     return "".join(out)
 
 
+# Trigger: conversion runs only when the text contains a KNOWN LaTeX
+# construct — a recognized macro name, a line break '\\\\', or an
+# escaped special. A stray unknown '\word' (Windows path, regex in
+# prose) does NOT trigger, so prose is never destroyed by macro
+# deletion / comment stripping / brace removal.
+_FORMAT_MACROS = {
+    "textbf", "textit", "texttt", "text", "emph", "mathrm", "mathbf",
+    "mathit", "mathcal", "mathbb", "mbox", "underline", "overline",
+    "hat", "bar", "vec", "tilde", "left", "right", "item", "section",
+    "subsection", "title", "author", "label", "cite", "ref",
+}
+_KNOWN_MACROS = sorted(
+    (set(SYMBOLS) - set(",; ")) | _FORMAT_MACROS | {"frac", "sqrt", "begin", "end"},
+    key=len, reverse=True,
+)
+_TRIGGER_RE = re.compile(
+    r"\\\\|\\[%&$#_{}]|\\(?:" + "|".join(_KNOWN_MACROS) + r")(?![A-Za-z])"
+)
+
+
 def latex_to_text(text: str) -> str:
     """Convert LaTeX-bearing text to plain text; identity on text with
-    no backslash (guard, see module docstring). Raises LatexError on
+    no recognized LaTeX construct (guard, see _TRIGGER_RE — an unknown
+    '\\word' alone never activates conversion). Raises LatexError on
     malformed required structure (missing \\frac operand, unbalanced
     environment) — callers drop the affected key, matching the
     reference's failure handling."""
-    if "\\" not in text:
+    if "\\" not in text or not _TRIGGER_RE.search(text):
         return text
     return _convert(text)

@@ -69,10 +69,13 @@ def squeeze_spaces(text: str) -> str:
 #   3. macro repair:    '\bm{'              -> '\mathbf{'
 #   4. escape repair:   '\. '               -> '. '
 #   5. URL autolink:    bare http(s) URL    -> '[url](url)'
+#      (only at start-of-line/after whitespace, so an existing
+#      '[text](url)' link is never rewritten — repair stays idempotent
+#      on well-formed markdown)
 MD_HEADING_RE = re.compile(r"(?m)^(#{1,6})([^#\s])")
 MD_TAG_LEAD_RE = re.compile(r"(?m)^\(([0-9][0-9.]*[A-Za-z]?)\) \\\[(.+)\\\]$")
 MD_TAG_TRAIL_RE = re.compile(r"(?m)^\\\[(.+)\\\] \(([0-9][0-9.]*[A-Za-z]?)\)$")
-MD_URL_RE = re.compile(r"(?m)(^|[\s(])(https?://[^\s<>)\]\"']+)")
+MD_URL_RE = re.compile(r"(?m)(^|\s)(https?://[^\s<>)\]\"']+)")
 
 
 def markdown_compatible(text: str) -> str:

@@ -34,6 +34,12 @@ HEADER_RES = {
 
 PLAIN_FORMAT = "plain"  # the reference's doc.metadata['format'] analog
 
+# first_page cap: the reference's first_page is bounded by one PDF
+# page of text (pymupdf.py:64-66); a plain payload with no blank line
+# would otherwise duplicate the ENTIRE clean_text into the meta map of
+# every row (doubling output + window shuffle bytes at corpus scale).
+FIRST_PAGE_MAX = 2000
+
 
 def _header(payload: str, key: str) -> str:
     m = HEADER_RES[key].search(payload)
@@ -55,7 +61,7 @@ def extract_plain(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[s
         "doi": extract_doi(payload),
         "producer": _header(payload, "producer"),
         "format": PLAIN_FORMAT,
-        "first_page": clean_text.split("\n\n", 1)[0],
+        "first_page": clean_text.split("\n\n", 1)[0][:FIRST_PAGE_MAX],
         "abstract": abstract_or_empty(subject),
     }
 

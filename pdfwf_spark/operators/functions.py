@@ -24,8 +24,11 @@ def doi_extract(c: Column) -> Column:
 
 
 def collapse_blank_runs(c: Column) -> Column:
-    """F2 — nougat_.py:250."""
-    return F.trim(F.regexp_replace(c, BLANK_RUN_PATTERN, "\n\n"))
+    """F2 — nougat_.py:250 (strip twin of str.strip(): ALL whitespace,
+    not F.trim's spaces-only)."""
+    return F.regexp_replace(
+        F.regexp_replace(c, BLANK_RUN_PATTERN, "\n\n"), r"^\s+|\s+$", ""
+    )
 
 
 def collapse_ws_runs(c: Column) -> Column:
@@ -50,16 +53,26 @@ HEADER_PATTERNS = {
 }
 
 
+def _strip(c: Column) -> Column:
+    """Python str.strip() twin: removes ALL leading/trailing
+    whitespace (F.trim strips only ASCII spaces — a tab-terminated
+    header value would diverge from the UDF path byte-for-byte)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def project_meta9(payload: Column) -> list[Column]:
     """P6 — the full 9-key metadata projection of pymupdf.py:83-93 as
     JVM-side columns (select/rename of ~9 metadata keys; ''-defaulted,
     abstract iff subject > 580 chars, first_page = first
-    blank-line-delimited segment of the normalized payload)."""
+    blank-line-delimited segment of the normalized payload, capped at
+    FIRST_PAGE_MAX like the UDF path)."""
+    from pdfwf_spark.core.plain_extract import FIRST_PAGE_MAX
+
     def hdr(key: str) -> Column:
-        return F.trim(F.regexp_extract(payload, HEADER_PATTERNS[key], 1))
+        return _strip(F.regexp_extract(payload, HEADER_PATTERNS[key], 1))
 
     subject = hdr("subject")
-    clean = collapse_blank_runs(payload)
+    clean = _strip(F.regexp_replace(payload, BLANK_RUN_PATTERN, "\n\n"))
     return [
         hdr("title").alias("title"),
         hdr("authors").alias("authors"),
@@ -68,7 +81,8 @@ def project_meta9(payload: Column) -> list[Column]:
         doi_extract(payload).alias("doi"),
         hdr("producer").alias("producer"),
         F.lit("plain").alias("format"),
-        F.split(clean, r"\n\n").getItem(0).alias("first_page"),
+        F.substring(F.split(clean, r"\n\n").getItem(0), 1, FIRST_PAGE_MAX)
+        .alias("first_page"),
         abstract_or_empty(subject).alias("abstract"),
     ]
 
@@ -89,5 +103,5 @@ def markdown_compatible_col(c: Column) -> Column:
     c = F.replace(c, F.lit("\\bm{"), F.lit("\\mathbf{"))
     c = F.replace(c, F.lit("\\. "), F.lit(". "))
     return F.regexp_replace(
-        c, r"(?m)(^|[\s(])(https?://[^\s<>)\]\"']+)", "$1[$2]($2)"
+        c, r"(?m)(^|\s)(https?://[^\s<>)\]\"']+)", "$1[$2]($2)"
     )

@@ -50,26 +50,29 @@ def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
     )
 
 
-def read_lineage(spark: SparkSession, lineage_path: str) -> DataFrame:
-    """Committed lineage, or an empty frame when none exists yet.
-
-    ONLY path-not-found means 'no lineage yet'. Any other failure
-    (storage hiccup, permissions, corrupt footer) re-raises: treating
-    it as empty would let resume reprocess already-committed buckets
-    under a new run_id and permanently duplicate output rows.
-    """
+def read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Parquet read where ONLY path-not-found means 'no data yet'. Any
+    other failure (storage hiccup, permissions, corrupt footer)
+    re-raises: treating it as empty would let resume reprocess
+    already-committed buckets under a new run_id and permanently
+    duplicate output rows."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
+        return spark.read.schema(schema).parquet(path)
     except AnalysisException as exc:
         getter = getattr(exc, "getCondition", None) or getattr(
             exc, "getErrorClass", None
         )
         cls = (getter() if getter else None) or ""
         if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(exc):
-            return spark.createDataFrame([], LINEAGE_SCHEMA)
+            return spark.createDataFrame([], schema)
         raise
+
+
+def read_lineage(spark: SparkSession, lineage_path: str) -> DataFrame:
+    """Committed lineage, or an empty frame when none exists yet."""
+    return read_or_empty(spark, lineage_path, LINEAGE_SCHEMA)
 
 
 def filter_uncommitted(inputs_with_bucket: DataFrame, lineage: DataFrame) -> DataFrame:

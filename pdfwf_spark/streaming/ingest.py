@@ -6,22 +6,29 @@ run_id = f"{run_id_prefix}-{epoch}".
 
 Delivery semantics: foreachBatch is AT-LEAST-ONCE (a crash between the
 data/lineage appends and the offset commit replays the epoch). The
-batch body makes the replay a NO-OP: an epoch whose run_id already
-appears in committed lineage is skipped, so the sink is effectively
-once as long as the lineage append is the last write of the batch
-(data-then-lineage, same ordering as the batch commit protocol in
-pipeline.run_extraction; a crash between the two leaves orphan data
-rows that read_output's committed-lineage semi-join hides).
+batch body makes the replay safe twice over:
+- each ATTEMPT gets a fresh run_id f"{prefix}-{epoch}-{uuid8}", so
+  data appended by an attempt that crashed before its lineage commit
+  is an orphan under a never-committed run_id — hidden forever by
+  read_output's committed-lineage semi-join (same protocol as the
+  batch path's uuid run_ids);
+- an epoch whose prefix-epoch tag already appears in committed lineage
+  is skipped outright (idempotent no-op), so a replay after a fully
+  committed attempt appends nothing.
+Lineage append is the LAST write of the batch; its presence marks the
+epoch committed.
 
 Turn ranking across micro-batches: a conversation's turns may arrive
 over many epochs (maxFilesPerTrigger bounds each batch), so per-batch
-ranks are OFFSET by the max committed rank per conv_id — turn N+1 of
-a conv that already committed N turns gets rank N+1, never a colliding
-rank. Ordering is therefore arrival-epoch-major, (turn_idx, ts, role,
-tie_key) within an epoch: correct whenever turns arrive in epoch order
-(the append-only ingest contract); cross-epoch REORDERING would need
-an event-time watermark, which the reference has no analog of
-(SURVEY §2.9 — batch-only).
+ranks are OFFSET by the committed max rank per conv_id. The offset
+comes from a compact RANK-STATE table ({out}/rank_state: one row per
+(run_id, conv) touched by an epoch), filtered to committed run_ids —
+NOT from scanning the full output table, whose cost would grow with
+total history instead of batch size. Ordering is therefore
+arrival-epoch-major, (turn_idx, ts, role, tie_key) within an epoch:
+correct whenever turns arrive in epoch order (the append-only ingest
+contract); cross-epoch REORDERING would need an event-time watermark,
+which the reference has no analog of (SURVEY §2.9 — batch-only).
 
 Watermark/event-time aggregation is intentionally absent: extraction
 is per-row, so there is no cross-row streaming state.
@@ -33,8 +40,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from pyspark.sql import types as T
+
 from pdfwf_spark.operators.partitioning import DEFAULT_BUCKETS
 from pdfwf_spark.schemas import TRANSCRIPT_SCHEMA
+
+RANK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("max_rank", T.IntegerType(), False),
+    ]
+)
 
 
 def start_ingest(
@@ -62,10 +79,20 @@ def start_ingest(
     parts = n_partitions or spark.sparkContext.defaultParallelism
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        run_id = f"{run_id_prefix}-{epoch_id}"
+        import uuid
+
+        from pdfwf_spark.operators.lineage import read_or_empty
+
+        epoch_tag = f"{run_id_prefix}-{epoch_id}-"
         lineage = read_lineage(spark, f"{out_dir}/lineage")
-        if lineage.filter(F.col("run_id") == run_id).limit(1).count() > 0:
+        if (
+            lineage.filter(F.col("run_id").startswith(epoch_tag)).limit(1).count()
+            > 0
+        ):
             return  # replayed epoch: already committed -> idempotent no-op
+        # fresh run_id per ATTEMPT: a crash between the data append and
+        # the lineage commit leaves orphans under a never-committed id
+        run_id = epoch_tag + uuid.uuid4().hex[:8]
         has_committed = lineage.limit(1).count() > 0
 
         staged = sort_for_extraction(
@@ -76,15 +103,18 @@ def start_ingest(
             # rank ALL turns, then filter — matches the batch path
             ranked = successes(with_turn_rank(extracted))
             if has_committed:
-                # continue each conv's rank sequence where the
-                # committed output left off (no colliding keys when a
-                # conv spans micro-batches)
-                from pdfwf_spark.pipeline import read_output
-
+                # continue each conv's rank sequence from the COMPACT
+                # rank-state table (one row per touched (run_id, conv)),
+                # restricted to committed run_ids — never a scan of the
+                # full output history
+                rank_state = read_or_empty(
+                    spark, f"{out_dir}/rank_state", RANK_STATE_SCHEMA
+                )
+                committed_ids = lineage.select("run_id").distinct()
                 prior = (
-                    read_output(spark, out_dir)
+                    rank_state.join(committed_ids, "run_id", "left_semi")
                     .groupBy("conv_id")
-                    .agg(F.max("turn_rank").alias("_prior_max"))
+                    .agg(F.max("max_rank").alias("_prior_max"))
                 )
                 ranked = (
                     ranked.join(prior, "conv_id", "left")
@@ -94,10 +124,21 @@ def start_ingest(
                     )
                     .drop("_prior_max")
                 )
-            ranked = ranked.withColumn("run_id", F.lit(run_id))
+            ranked = ranked.withColumn("run_id", F.lit(run_id)).persist()
             append_data(ranked, f"{out_dir}/turns")
+            # rank-state BEFORE lineage: lineage-commit implies the
+            # state rows exist; orphan state rows from a crashed
+            # attempt are excluded by the committed-run_id semi-join
+            (
+                ranked.groupBy("conv_id")
+                .agg(F.max("turn_rank").alias("max_rank"))
+                .select(F.lit(run_id).alias("run_id"), "conv_id", "max_rank")
+                .write.mode("append")
+                .parquet(f"{out_dir}/rank_state")
+            )
             # lineage append LAST: its presence marks the epoch committed
             append_lineage(lineage_rows(extracted, run_id), f"{out_dir}/lineage")
+            ranked.unpersist()
         finally:
             extracted.unpersist()
 

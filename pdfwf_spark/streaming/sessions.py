@@ -83,10 +83,14 @@ def make_session_fn(gap_s: int):
         else:
             start_us, last_us, n = None, None, 0
 
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "turn_idx"])
+        # applyInPandasWithState delivers a group's rows as MULTIPLE
+        # Arrow chunks with no cross-chunk ordering guarantee — sorting
+        # each chunk alone would corrupt the gap state machine when a
+        # group exceeds arrow.maxRecordsPerBatch. Concatenate first
+        # (bounded by the group's rows in THIS micro-batch), sort once.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "turn_idx"])
             for ts in pdf["ts"]:
                 t = _us(ts)
                 if start_us is None:
@@ -152,11 +156,13 @@ def batch_sessions(transcripts: DataFrame, gap_s: int = 1800) -> DataFrame:
     from pyspark.sql import Window
 
     ord_w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    # microsecond comparison, matching the stateful operator exactly —
+    # second-truncated casts would disagree on fractional-second gaps
     gapped = transcripts.withColumn(
         "is_new",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(ord_w)
-            > gap_s,
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(ord_w)
+            > gap_s * 1_000_000,
             1,
         ).otherwise(0),
     ).withColumn(

@@ -364,3 +364,15 @@ def test_pdfish_confidence_threshold_and_nms():
     )
     text2, _, _ = extract_pdfish(payload2)
     assert text2 == "small and confident"
+
+
+def test_latex_guard_ignores_unknown_backslash_prose():
+    """An unrecognized '\\word' (Windows path, regex in prose) must NOT
+    activate LaTeX semantics — no macro deletion, no % comment
+    stripping, no brace/$ removal, no ParseFailure."""
+    from pdfwf_spark.core.latex import latex_to_text
+
+    prose = r"run C:\temp\new, fees fell 5% today {see notes} for $5"
+    assert latex_to_text(prose) == prose
+    # but genuine latex still converts (and then % IS a comment)
+    assert latex_to_text(r"\alpha up 5% today") == "α up 5"

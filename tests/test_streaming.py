@@ -88,6 +88,18 @@ def test_stream_rank_continues_across_micro_batches(spark, tmp_path):
     assert sorted(ranks) == [1, 2, 3, 4, 5, 6]          # no collisions
     assert got == [(t, t + 1) for t in range(6)]         # continuation in order
 
+    # per-ATTEMPT run_ids ('{prefix}-{epoch}-{uuid8}') and a compact
+    # rank_state row per (run_id, conv) — the offset source that keeps
+    # per-epoch work proportional to the batch, not total history
+    run_ids = {r["run_id"] for r in read_output(spark, out).collect()}
+    assert all(rid.startswith("stream-") and len(rid.split("-")) == 3
+               for rid in run_ids)
+    state = spark.read.parquet(out + "/rank_state").collect()
+    assert {(r["run_id"], r["conv_id"]) for r in state} == {
+        (rid, "conv-x") for rid in run_ids
+    }
+    assert max(r["max_rank"] for r in state) == 6
+
 
 def test_stream_replayed_epoch_is_noop(spark, tmp_path):
     """An epoch whose run_id is already committed in lineage must be
@@ -101,9 +113,12 @@ def test_stream_replayed_epoch_is_noop(spark, tmp_path):
     spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(src)
 
     out = str(tmp_path / "out3")
-    # pre-commit lineage for epoch 0 under the default prefix
+    # pre-commit lineage for epoch 0 under the default prefix (run_ids
+    # are per-ATTEMPT: '{prefix}-{epoch}-{uuid8}'; the skip matches on
+    # the '{prefix}-{epoch}-' tag)
     pre = spark.createDataFrame(
-        [("stream-0", 0, 1, 1, 0, 10, 10, 5, datetime(2025, 1, 1))], LINEAGE_SCHEMA
+        [("stream-0-dead1234", 0, 1, 1, 0, 10, 10, 5, datetime(2025, 1, 1))],
+        LINEAGE_SCHEMA,
     )
     pre.write.parquet(out + "/lineage")
 
