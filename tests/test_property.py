@@ -38,3 +38,44 @@ def test_sniff_total(payload):
 def test_html_tokenizer_tolerates_tag_soup(soup):
     res = extract_payload("<body>" + soup + "</body>", "")
     assert res.status in ("ok", "failed")
+
+
+@settings(max_examples=300, deadline=None)
+@given(payloads)
+def test_markdown_compatible_idempotent(text):
+    """The F7 repair pass must be a no-op on its own output — a repair
+    that keeps repairing corrupts well-formed markdown."""
+    from pdfwf_spark.core.normalize import markdown_compatible
+
+    once = markdown_compatible(text)
+    assert markdown_compatible(once) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(payloads)
+def test_latex_guard_total(text):
+    """latex_to_text never raises anything but LatexError, and is the
+    identity on text with no recognized LaTeX construct."""
+    from pdfwf_spark.core.latex import LatexError, latex_to_text
+
+    try:
+        out = latex_to_text(text)
+    except LatexError:
+        return
+    if "\\" not in text:
+        assert out == text
+
+
+@settings(max_examples=300, deadline=None)
+@given(payloads, payloads, payloads, payloads)
+def test_tie_key_encoding_injective(a, b, c, d):
+    """The length-prefix encoding behind tie_key is injective: distinct
+    (text, tool) pairs never share an encoding (so key collisions are
+    md5-collision-rare, not encoding artifacts)."""
+    from pdfwf_spark.fixtures.golden import tie_key
+
+    if (a, b) != (c, d):
+        enc1 = f"{len(a)}:{a}{len(b)}:{b}"
+        enc2 = f"{len(c)}:{c}{len(d)}:{d}"
+        assert enc1 != enc2          # the encoding itself is injective
+        assert tie_key(a, b) != tie_key(c, d)  # md5 collision: 2^-64 odds
