@@ -1181,20 +1181,27 @@ def oracle_sql() -> dict[str, str]:
                      length(d.text) - length(regexp_replace(d.text, '[.,;:!?]', '', 'g')) AS np
               FROM documents d JOIN keepers k ON k.doc_id = d.doc_id),
             feats AS (
-              SELECT doc_id, len(t) AS n_tokens,
-                     CAST(ROUND(1000.0 * len(list_filter(t,
-                        x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on'))) / len(t)) AS INT) AS stopword_milli,
+              SELECT doc_id,
+                     len(list_filter(t, x -> x <> '')) AS n_tokens,
+                     CASE WHEN len(list_filter(t, x -> x <> '')) = 0 THEN 0 ELSE
+                       CAST(ROUND(1000.0 * len(list_filter(t,
+                          x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on'))) / len(list_filter(t, x -> x <> ''))) AS INT)
+                     END AS stopword_milli,
                      CAST(ROUND(1000.0 * np / greatest(nc, 1)) AS INT) AS punct_milli,
-                     CAST(ROUND(1000.0 * length(regexp_replace(text, '\s+', '', 'g')) / len(t)) AS INT) AS avg_token_len_milli,
+                     CASE WHEN len(list_filter(t, x -> x <> '')) = 0 THEN 0 ELSE
+                       CAST(ROUND(1000.0 * length(regexp_replace(text, '\s+', '', 'g')) / len(list_filter(t, x -> x <> ''))) AS INT)
+                     END AS avg_token_len_milli,
                      len(list_filter(t, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
                      len(list_filter(t, x -> x IN ('el','la','de','que','y','los'))) AS s_es,
                      len(list_filter(t, x -> x IN ('le','la','les','des','et','un'))) AS s_fr
               FROM base),
             scored AS (
               SELECT doc_id, n_tokens,
-                     CAST(least(stopword_milli * 3, 400)
-                          + CASE WHEN avg_token_len_milli BETWEEN 3000 AND 9000 THEN 300 ELSE 0 END
-                          + greatest(0, 300 - punct_milli * 3) AS INT) AS quality_milli,
+                     CASE WHEN n_tokens = 0 THEN 0 ELSE
+                       CAST(least(stopword_milli * 3, 400)
+                            + CASE WHEN avg_token_len_milli BETWEEN 3000 AND 9000 THEN 300 ELSE 0 END
+                            + greatest(0, 300 - punct_milli * 3) AS INT)
+                     END AS quality_milli,
                      CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
                           WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
                           WHEN s_fr > 0 THEN 'fr'
@@ -1205,7 +1212,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_count": rf"""
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+                   len(list_filter({_TOKS}, x -> x <> '')) AS n_tokens,
                    length(text) AS n_chars_calc
             FROM documents
         """,
@@ -1216,16 +1223,23 @@ def oracle_sql() -> dict[str, str]:
                      length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np
               FROM documents),
             feats AS (
-              SELECT doc_id, len(t) AS n_tokens,
-                     CAST(ROUND(1000.0 * len(list_filter(t,
-                        x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on'))) / len(t)) AS INT) AS stopword_milli,
+              SELECT doc_id,
+                     len(list_filter(t, x -> x <> '')) AS n_tokens,
+                     CASE WHEN len(list_filter(t, x -> x <> '')) = 0 THEN 0 ELSE
+                       CAST(ROUND(1000.0 * len(list_filter(t,
+                          x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on'))) / len(list_filter(t, x -> x <> ''))) AS INT)
+                     END AS stopword_milli,
                      CAST(ROUND(1000.0 * np / greatest(nc, 1)) AS INT) AS punct_milli,
-                     CAST(ROUND(1000.0 * length(regexp_replace(text, '\s+', '', 'g')) / len(t)) AS INT) AS avg_token_len_milli
+                     CASE WHEN len(list_filter(t, x -> x <> '')) = 0 THEN 0 ELSE
+                       CAST(ROUND(1000.0 * length(regexp_replace(text, '\s+', '', 'g')) / len(list_filter(t, x -> x <> ''))) AS INT)
+                     END AS avg_token_len_milli
               FROM base)
             SELECT doc_id, n_tokens, stopword_milli, punct_milli,
-                   CAST(least(stopword_milli * 3, 400)
-                        + CASE WHEN avg_token_len_milli BETWEEN 3000 AND 9000 THEN 300 ELSE 0 END
-                        + greatest(0, 300 - punct_milli * 3) AS INT) AS quality_milli
+                   CASE WHEN n_tokens = 0 THEN 0 ELSE
+                     CAST(least(stopword_milli * 3, 400)
+                          + CASE WHEN avg_token_len_milli BETWEEN 3000 AND 9000 THEN 300 ELSE 0 END
+                          + greatest(0, 300 - punct_milli * 3) AS INT)
+                   END AS quality_milli
             FROM feats
         """,
         "text_langid": rf"""

@@ -39,9 +39,21 @@ def extract_doi(text: str) -> str:
     return m.group(2) if m else ""
 
 
+# ASCII whitespace set — identical to Java/RE2 \s, so the Python UDF
+# path and the JVM/DuckDB twins strip the SAME characters (str.strip()
+# with no args would also strip Unicode whitespace like NBSP, which
+# \s-based regex strips do not).
+ASCII_WS = " \t\r\n\f\v"
+
+
+def ascii_strip(text: str) -> str:
+    return text.strip(ASCII_WS)
+
+
 def collapse_blank_runs(text: str) -> str:
-    """'\\n{3,}' -> '\\n\\n' then strip (nougat_.py:250 semantics)."""
-    return BLANK_RUN_RE.sub("\n\n", text).strip()
+    """'\\n{3,}' -> '\\n\\n' then strip (nougat_.py:250 semantics;
+    ASCII strip for twin parity — see ASCII_WS)."""
+    return ascii_strip(BLANK_RUN_RE.sub("\n\n", text))
 
 
 def collapse_ws_runs(text: str) -> str:

@@ -41,7 +41,7 @@ import re
 from dataclasses import dataclass
 
 from pdfwf_spark.core.latex import LatexError, latex_to_text
-from pdfwf_spark.core.normalize import collapse_ws_runs
+from pdfwf_spark.core.normalize import ascii_strip, collapse_ws_runs
 
 MAGIC = "%PDFISH1"
 
@@ -212,7 +212,11 @@ def extract_pdfish(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[
         if page_no in failed_pages:
             page_texts.append(f"[MISSING_PAGE_FAIL:{page_no}]")
             continue
-        blocks = _nms(pages[page_no])
+        # P4 class-subset predicate: EXCLUDED_CLASSES (and any unknown
+        # class) are dropped here; only body/meta/equation survive
+        blocks = [
+            b for b in _nms(pages[page_no]) if b.cls not in EXCLUDED_CLASSES
+        ]
         body = [b for b in blocks if b.cls in BODY_CLASSES]
         metas = [b for b in blocks if b.cls in META_CLASSES or b.cls in EQUATION_CLASSES]
         for b in sorted(metas, key=lambda b: (b.y0, b.x0, b.seq)):
@@ -237,14 +241,14 @@ def extract_pdfish(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[
         body_text = latex_to_text("\n".join(page_texts))
     except LatexError as exc:
         raise ParseFailure(f"latex: {exc}") from exc
-    clean_text = collapse_ws_runs(body_text).strip()
+    clean_text = ascii_strip(collapse_ws_runs(body_text))
 
     meta: dict[str, str] = {}
     for k, v in meta_parts.items():
         if not any(v):
             continue
         try:
-            meta[k] = collapse_ws_runs(latex_to_text("\n".join(v))).strip()
+            meta[k] = ascii_strip(collapse_ws_runs(latex_to_text("\n".join(v))))
         except LatexError:
             continue  # failure -> key dropped (tensor_utils.py:2414-2417)
     if any(equation_parts):

@@ -19,7 +19,12 @@ from __future__ import annotations
 
 import re
 
-from pdfwf_spark.core.normalize import abstract_or_empty, collapse_blank_runs, extract_doi
+from pdfwf_spark.core.normalize import (
+    abstract_or_empty,
+    ascii_strip,
+    collapse_blank_runs,
+    extract_doi,
+)
 
 SUBJECT_RE = re.compile(r"^Subject:[ \t]*(.*)$", re.M)
 
@@ -43,7 +48,7 @@ FIRST_PAGE_MAX = 2000
 
 def _header(payload: str, key: str) -> str:
     m = HEADER_RES[key].search(payload)
-    return m.group(1).strip() if m else ""
+    return ascii_strip(m.group(1)) if m else ""
 
 
 def extract_plain(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[str, str]]:
@@ -51,7 +56,7 @@ def extract_plain(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[s
     clean_text = collapse_blank_runs(payload)
 
     sm = SUBJECT_RE.search(payload)
-    subject = sm.group(1).strip() if sm else ""
+    subject = ascii_strip(sm.group(1)) if sm else ""
     # the full 9-key record of pymupdf.py:83-93, ''-defaulted
     meta: dict[str, str] = {
         "title": _header(payload, "title"),

@@ -22,8 +22,13 @@ _HTML_HINT_RE = re.compile(
 
 # Density guard: at least one tag per 400 chars, so prose that merely
 # mentions "<div>" once in 10kB is not routed to the HTML parser.
+# Absolute-count escape hatch: text-HEAVY but genuine HTML (long <p>
+# paragraphs, few tags per byte) still routes to the HTML parser once
+# enough distinct tags are present — a prose document does not contain
+# eight tag-shaped tokens.
 _TAG_RE = re.compile(r"<[^>]{1,200}>")
 _MIN_TAG_DENSITY = 1.0 / 400.0
+_MIN_TAG_COUNT = 8
 
 
 def sniff(payload: str) -> str:
@@ -34,6 +39,8 @@ def sniff(payload: str) -> str:
         return "pdfish"
     if _HTML_HINT_RE.search(payload):
         n_tags = len(_TAG_RE.findall(payload))
-        if n_tags >= 1 and n_tags / max(len(payload), 1) >= _MIN_TAG_DENSITY:
+        if n_tags >= _MIN_TAG_COUNT or (
+            n_tags >= 1 and n_tags / max(len(payload), 1) >= _MIN_TAG_DENSITY
+        ):
             return "html"
     return "plain"

@@ -120,6 +120,12 @@ def lsh_candidate_pairs(
     shuffle key is the band hash, so only genuine candidates collide.
     """
     k = bands * rows_per_band
+    missing = [f"sig_{i}" for i in range(k) if f"sig_{i}" not in sigs.columns]
+    if missing:
+        raise ValueError(
+            f"banding {bands}x{rows_per_band} needs {k} signature lanes; "
+            f"missing {missing} — generate with minhash_signatures(k={k})"
+        )
     band_cols = []
     for b in range(bands):
         lanes = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]

@@ -203,6 +203,14 @@ def ivf_assign(
         F.col("id").alias("cid"), F.col("_vec").alias("_cvec"),
         F.col("_norm").alias("_cnorm"),
     )
+    # a non-0-based / non-numeric id space would silently yield an
+    # EMPTY centroid set (and an empty inner-join result downstream)
+    n_found = cents.limit(n_centroids).count()
+    if n_found < n_centroids:
+        raise ValueError(
+            f"ivf_assign expects ids 0..{n_centroids - 1} to exist as "
+            f"centroids; found {n_found}. Remap ids or lower n_centroids."
+        )
     scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "cos_milli",
         F.round(1000 * _dot(F.col("_vec"), F.col("_cvec"))

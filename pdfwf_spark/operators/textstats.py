@@ -28,10 +28,11 @@ FP_BASE = 31
 
 
 def token_count(text_col: Column) -> Column:
-    t = tokens(text_col)
-    return F.when(
-        F.length(F.trim(text_col)) == 0, F.lit(0)
-    ).otherwise(F.size(t)).alias("n_tokens")
+    """Count of NON-EMPTY tokens: split('\\s+') emits '' at whitespace
+    edges (and [''] for blank text — including tab/newline-only text
+    that a spaces-only trim() check misses), so filter empties instead
+    of special-casing blank."""
+    return F.size(F.filter(tokens(text_col), lambda x: x != "")).alias("n_tokens")
 
 
 def _count_in(toks: Column, vocab: tuple[str, ...]) -> Column:
@@ -40,22 +41,38 @@ def _count_in(toks: Column, vocab: tuple[str, ...]) -> Column:
 
 def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """n_tokens, n_chars, avg token length (per-mille), stopword and
-    punctuation ratios (per-mille) — the quality-score feature row."""
+    punctuation ratios (per-mille) — the quality-score feature row.
+
+    Blank/whitespace-only text counts 0 tokens (split('') -> ['']
+    would otherwise claim 1) and zero ratios, agreeing with
+    token_count — the two operators must never disagree on a doc."""
     t = tokens(F.col(text_col))
-    n_tok = F.size(t)
+    n_tok = token_count(F.col(text_col))
+    blank = n_tok == 0
     n_stop = _count_in(t, STOPWORDS)
     n_punct = F.length(F.col(text_col)) - F.length(
         F.regexp_replace(F.col(text_col), r"[.,;:!?]", "")
     )
+    safe_tok = F.greatest(n_tok, F.lit(1))
     return (
         docs.withColumn("n_tokens", n_tok)
         .withColumn("n_chars", F.length(F.col(text_col)))
         .withColumn(
             "avg_token_len_milli",
-            F.round(1000 * F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n_tok)
-            .cast("int"),
+            F.when(blank, F.lit(0)).otherwise(
+                F.round(
+                    1000
+                    * F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+                    / safe_tok
+                ).cast("int")
+            ),
         )
-        .withColumn("stopword_milli", F.round(1000 * n_stop / n_tok).cast("int"))
+        .withColumn(
+            "stopword_milli",
+            F.when(blank, F.lit(0)).otherwise(
+                F.round(1000 * n_stop / safe_tok).cast("int")
+            ),
+        )
         .withColumn(
             "punct_milli",
             F.round(1000 * n_punct / F.greatest(F.length(F.col(text_col)), F.lit(1)))
@@ -67,7 +84,8 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality heuristic in [0, 1000]: rewards stopword
     presence (real prose), mid-range token length, low punctuation
-    noise. Deterministic integer arithmetic."""
+    noise. Deterministic integer arithmetic; an EMPTY document scores
+    0 (not the punct-component's 300)."""
     d = with_text_stats(docs, text_col)
     stop_component = F.least(F.col("stopword_milli") * 3, F.lit(400))
     len_component = F.when(
@@ -77,7 +95,9 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     punct_component = F.greatest(F.lit(0), F.lit(300) - F.col("punct_milli") * 3)
     return d.withColumn(
         "quality_milli",
-        (stop_component + len_component + punct_component).cast("int"),
+        F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+            (stop_component + len_component + punct_component).cast("int")
+        ),
     )
 
 

@@ -143,11 +143,12 @@ def run_extraction(
         inputs = filter_uncommitted(inputs, read_lineage(spark, lineage_path))
 
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
-    if prepartition == "always" or (
-        prepartition == "auto" and inputs.rdd.getNumPartitions() < n_partitions
-    ):
-        inputs = salted_repartition(inputs, n_partitions, n_salts)
-    extracted = extract_turns(inputs)
+    # reuse the same staging logic as extract_df (bucket col already
+    # attached above, so _stage_inputs' with_bucket is a no-op rebuild)
+    staged = _stage_inputs(
+        inputs.drop("bucket"), n_buckets, n_partitions, n_salts, prepartition
+    )
+    extracted = extract_turns(staged)
 
     # One pass over the UDF output feeds both the data write and the
     # lineage aggregate; persist avoids re-running extraction.

@@ -28,7 +28,14 @@ def read_markdown_dir(
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     df = reader.text(md_dir, wholetext=True)
-    md_path = F.input_file_name()
+    # input_file_name() is a URL-encoded URI ('my paper.md' ->
+    # .../my%20paper.md): decode BEFORE deriving the stem, or pairing
+    # against raw source paths silently drops every file whose name
+    # contains a space/special char. url_decode is form-decoding
+    # ('+' -> ' '), but URIs keep literal '+', so escape it first.
+    md_path = F.url_decode(
+        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+    )
     return df.select(
         F.regexp_extract(md_path, STEM_PATTERN, 1).alias("stem"),
         md_path.alias("md_path"),

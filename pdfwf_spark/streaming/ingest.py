@@ -100,8 +100,11 @@ def start_ingest(
         )
         extracted = extract_turns(staged).persist()
         try:
-            # rank ALL turns, then filter — matches the batch path
-            ranked = successes(with_turn_rank(extracted))
+            # rank ALL turns (failures occupy ranks too), offset, THEN
+            # filter — matches the batch path, and keeps rank_state
+            # counting failed turns so the next epoch's offset does not
+            # drift from a batch run over the union
+            all_ranked = with_turn_rank(extracted)
             if has_committed:
                 # continue each conv's rank sequence from the COMPACT
                 # rank-state table (one row per touched (run_id, conv)),
@@ -116,21 +119,23 @@ def start_ingest(
                     .groupBy("conv_id")
                     .agg(F.max("max_rank").alias("_prior_max"))
                 )
-                ranked = (
-                    ranked.join(prior, "conv_id", "left")
+                all_ranked = (
+                    all_ranked.join(prior, "conv_id", "left")
                     .withColumn(
                         "turn_rank",
                         F.col("turn_rank") + F.coalesce(F.col("_prior_max"), F.lit(0)),
                     )
                     .drop("_prior_max")
                 )
-            ranked = ranked.withColumn("run_id", F.lit(run_id)).persist()
+            all_ranked = all_ranked.persist()
+            ranked = successes(all_ranked).withColumn("run_id", F.lit(run_id))
             append_data(ranked, f"{out_dir}/turns")
             # rank-state BEFORE lineage: lineage-commit implies the
             # state rows exist; orphan state rows from a crashed
-            # attempt are excluded by the committed-run_id semi-join
+            # attempt are excluded by the committed-run_id semi-join.
+            # Max over ALL statuses — failed turns hold their ranks.
             (
-                ranked.groupBy("conv_id")
+                all_ranked.groupBy("conv_id")
                 .agg(F.max("turn_rank").alias("max_rank"))
                 .select(F.lit(run_id).alias("run_id"), "conv_id", "max_rank")
                 .write.mode("append")
@@ -138,7 +143,7 @@ def start_ingest(
             )
             # lineage append LAST: its presence marks the epoch committed
             append_lineage(lineage_rows(extracted, run_id), f"{out_dir}/lineage")
-            ranked.unpersist()
+            all_ranked.unpersist()
         finally:
             extracted.unpersist()
 

@@ -376,3 +376,12 @@ def test_latex_guard_ignores_unknown_backslash_prose():
     assert latex_to_text(prose) == prose
     # but genuine latex still converts (and then % IS a comment)
     assert latex_to_text(r"\alpha up 5% today") == "α up 5"
+
+
+def test_sniff_text_heavy_html():
+    """Genuine HTML with low tag density (long paragraphs) must still
+    route to the HTML parser via the absolute tag-count escape hatch."""
+    paras = "".join(f"<p>{'word ' * 120}</p>" for _ in range(10))
+    assert sniff("<body>" + paras + "</body>") == "html"
+    # prose mentioning one tag stays plain
+    assert sniff("mentions <div> once " + "word " * 500) == "plain"

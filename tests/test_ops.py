@@ -257,3 +257,47 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(approx) > 0
     got = {r["n_id"] for r in approx}
     assert got <= {r["n_id"] for r in cosine_topk(emb, queries, k=200).collect()}
+
+
+def test_multimodal_truncated_blob_is_unknown(spark):
+    """A magic-prefixed but truncated blob must decode as 'unknown',
+    never crash the task with struct.error."""
+    from pdfwf_spark.operators.multimodal import IMG_MAGIC, decode_media
+
+    media = spark.createDataFrame(
+        [(0, bytes(IMG_MAGIC)), (1, bytes(IMG_MAGIC) + b"\x00\x01"), (2, b"")],
+        "doc_id long, content binary",
+    )
+    out = {r["doc_id"]: r for r in decode_media(media, fake=True).collect()}
+    assert all(out[i]["media_type"] == "unknown" for i in range(3))
+
+
+def test_textstats_blank_doc_scores_zero(spark):
+    """Blank text: 0 tokens, zero ratios, quality 0 — with_text_stats
+    and token_count must agree on the same doc."""
+    from pdfwf_spark.operators.textstats import with_quality_score
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   \t "), (2, "real prose with the words")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_quality_score(docs).collect()}
+    for i in (0, 1):
+        assert out[i]["n_tokens"] == 0
+        assert out[i]["stopword_milli"] == 0
+        assert out[i]["avg_token_len_milli"] == 0
+        assert out[i]["quality_milli"] == 0
+    assert out[2]["n_tokens"] == 5 and out[2]["quality_milli"] > 0
+
+
+def test_ivf_rejects_non_zero_based_ids(spark):
+    import pytest as _pytest
+
+    from pdfwf_spark.operators.similarity import ivf_assign
+
+    emb = spark.createDataFrame(
+        [(1000 + i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="centroids"):
+        ivf_assign(emb, n_centroids=8)

@@ -30,3 +30,11 @@ def test_pair_with_sources_by_stem(spark, tmp_path):
     assert len(paired) == 1
     assert paired[0]["path"] == "/data/pdfs/a.pdf"
     assert paired[0]["text"] == "text a"
+
+
+def test_markdown_dir_decodes_spaced_filenames(spark, tmp_path):
+    (tmp_path / "my paper.md").write_text("spaced body")
+    (tmp_path / "a+b.md").write_text("plus body")
+    md = read_markdown_dir(spark, str(tmp_path))
+    stems = {r["stem"]: r["text"] for r in md.collect()}
+    assert stems == {"my paper": "spaced body", "a+b": "plus body"}

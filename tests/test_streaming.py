@@ -209,3 +209,41 @@ def test_batch_sessions_twin_matches_stateful_semantics(spark):
     assert got[("conv-a", 1)] == (t0, t0 + timedelta(seconds=10), 2)
     assert got[("conv-a", 2)] == (t0 + timedelta(hours=2), t0 + timedelta(hours=2), 1)
     assert got[("conv-b", 1)] == (t0, t0, 1)
+
+
+def test_stream_rank_offset_counts_failed_turns(spark, tmp_path):
+    """rank_state max is over ALL statuses: a failed turn at the end of
+    an epoch still holds its rank, so the next epoch continues at the
+    same position a batch run over the union would assign."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import time as _time
+    from datetime import datetime
+
+    src = str(tmp_path / "src4")
+    os.makedirs(src)
+    base = datetime(2025, 1, 1)
+    f1 = [("conv-f", 0, "user", "good turn zero", "", base),
+          ("conv-f", 1, "user", "   \t ", "", base)]       # fails (empty)
+    f2 = [("conv-f", 2, "user", "good turn two", "", base)]
+    now = _time.time()
+    for name, rows, mt in (("a", f1, now), ("b", f2, now + 10)):
+        staging = str(tmp_path / f"st4_{name}")
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(staging)
+        dest = f"{src}/{name}.parquet"
+        _shutil.copy(_glob.glob(staging + "/part-*.parquet")[0], dest)
+        os.utime(dest, (mt, mt))
+
+    out = str(tmp_path / "out4")
+    q = start_ingest(spark, src, out, str(tmp_path / "ckpt4"),
+                     n_buckets=8, n_partitions=4, max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+
+    from pdfwf_spark.pipeline import read_output
+
+    got = {r["turn_idx"]: r["turn_rank"]
+           for r in read_output(spark, out).filter("conv_id='conv-f'").collect()}
+    # failed turn 1 holds rank 2; committed output is turns 0 and 2
+    assert got == {0: 1, 2: 3}
