@@ -79,3 +79,43 @@ def test_tie_key_encoding_injective(a, b, c, d):
         enc2 = f"{len(c)}:{c}{len(d)}:{d}"
         assert enc1 != enc2          # the encoding itself is injective
         assert tie_key(a, b) != tie_key(c, d)  # md5 collision: 2^-64 odds
+
+
+# word-ish tokens that cannot collide with format syntax
+words = st.lists(
+    st.text(alphabet="abcdefghijklmnop", min_size=1, max_size=8),
+    min_size=1, max_size=6,
+).map(" ".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(words, min_size=1, max_size=8))
+def test_pdfish_roundtrip_single_column(texts):
+    """Render a single-column page of body blocks -> extract must
+    return exactly those texts in top-to-bottom order."""
+    from pdfwf_spark.core.pdfish_extract import extract_pdfish
+
+    lines = ["%PDFISH1", "PAGE 1 612 792"]
+    for i, t in enumerate(texts):
+        y = 100 + i * 100  # disjoint bboxes: NMS must keep all
+        lines.append(f"BLOCK 100 {y} 500 {y + 80} text|{t}")
+    clean, spans, meta = extract_pdfish("\n".join(lines))
+    assert clean == "\n".join(texts)
+    assert [s[2] for s in spans] == ["text"] * len(texts)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(words, min_size=1, max_size=6))
+def test_html_roundtrip_article_paragraphs(texts):
+    """Wrap texts in <article><p>..</p></article> with nav/footer
+    boilerplate -> extract must return exactly the paragraphs."""
+    from pdfwf_spark.core.html_extract import extract_html
+
+    paras = "".join(f"<p>{t}</p>" for t in texts)
+    payload = (
+        '<html><body><nav><a href="/">home</a></nav>'
+        f"<article>{paras}</article>"
+        "<footer>footer junk</footer></body></html>"
+    )
+    clean, spans, meta = extract_html(payload)
+    assert clean == "\n".join(texts)
