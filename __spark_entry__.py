@@ -631,8 +631,10 @@ def _q_extract_pdfish_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only — multimodal binary plumbing (decode stubbed;
-    payloads built and checksummed numpy-vectorized per Arrow batch)."""
+    """Multimodal binary plumbing (decode stubbed; payloads built and
+    checksummed numpy-vectorized per Arrow batch). Oracle-checked: the
+    fake media is a pure function of doc_id, so DuckDB reproduces the
+    decoded header fields AND the byte checksum arithmetically."""
     from pdfwf_spark.operators.multimodal import decode_media, make_fake_media_batch
 
     import pandas as pd
@@ -1255,6 +1257,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_fr > 0 THEN 'fr'
                         ELSE 'und' END AS lang_pred
             FROM s
+        """,
+        "mm_media_meta": """
+            WITH m AS (
+              SELECT doc_id,
+                     doc_id % 2 = 0 AS is_img,
+                     4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+                     16 + doc_id % 33 AS ns
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN is_img THEN 'image' ELSE 'audio' END AS media_type,
+                   (CASE WHEN is_img THEN 15 + w * h ELSE 15 + ns END)::BIGINT AS n_bytes,
+                   (CASE WHEN is_img THEN w END)::INT AS width,
+                   (CASE WHEN is_img THEN h END)::INT AS height,
+                   (CASE WHEN is_img THEN NULL ELSE 8000 END)::INT AS sample_rate,
+                   (CASE WHEN is_img THEN NULL ELSE ns END)::INT AS n_samples,
+                   ((CASE WHEN is_img
+                       -- sum(b'FAKEIMG')=500; w,h big-endian 4-byte sums = w + h
+                       THEN 500 + w + h + list_sum(list_transform(
+                              range(0, w * h), i -> (doc_id * 31 + i) % 251))
+                       -- sum(b'FAKEAUD')=497; rate 8000 -> bytes 0,0,31,64 (95)
+                       ELSE 497 + 95 + ns + list_sum(list_transform(
+                              range(0, ns), i -> (doc_id * 17 + i) % 251))
+                    END) % 1000000007)::BIGINT AS checksum
+            FROM m
         """,
         "extract_plain_parity": r"""
             WITH t AS (
