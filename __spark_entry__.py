@@ -654,6 +654,32 @@ def _q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake=True)
 
 
+def _q_mm_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8's REAL codec branch: valid BMP/WAV files (deterministic in
+    doc_id) decoded by the stdlib codecs (struct header parse + the
+    `wave` module). The files are pure functions of doc_id, so DuckDB
+    reproduces every decoded field AND the whole-file byte checksum
+    arithmetically — including the little-endian multi-byte header
+    fields' per-byte sums."""
+    from pdfwf_spark.operators.multimodal import decode_media, make_real_media_batch
+
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents")
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+    docs = repartition_for_scan(docs)
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {"doc_id": ids, "content": make_real_media_batch(ids)}
+            )
+
+    media = docs.select("doc_id").mapInPandas(build, "doc_id long, content binary")
+    return decode_media(media, fake=False)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_turn_ordering": _q_w1_turn_ordering,
@@ -702,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_parity": _q_extract_html_parity,
         "extract_pdfish_parity": _q_extract_pdfish_parity,
         "mm_media_meta": _q_mm_media_meta,
+        "mm_media_real": _q_mm_media_real,
     }
 
 
@@ -1279,6 +1306,41 @@ def oracle_sql() -> dict[str, str]:
                        -- sum(b'FAKEAUD')=497; rate 8000 -> bytes 0,0,31,64 (95)
                        ELSE 497 + 95 + ns + list_sum(list_transform(
                               range(0, ns), i -> (doc_id * 17 + i) % 251))
+                    END) % 1000000007)::BIGINT AS checksum
+            FROM m
+        """,
+        "mm_media_real": """
+            WITH m AS (
+              SELECT doc_id,
+                     doc_id % 2 = 0 AS is_img,
+                     1 + doc_id % 5 AS w, 1 + doc_id % 4 AS h,
+                     ((3 * (1 + doc_id % 5) + 3) // 4) * 4
+                       * (1 + doc_id % 4) AS px_n,
+                     8000 + (doc_id % 5) * 1000 AS rate,
+                     8 + doc_id % 9 AS nf
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN is_img THEN 'image' ELSE 'audio' END AS media_type,
+                   (CASE WHEN is_img THEN 54 + px_n ELSE 44 + 2 * nf END)::BIGINT AS n_bytes,
+                   (CASE WHEN is_img THEN w END)::INT AS width,
+                   (CASE WHEN is_img THEN h END)::INT AS height,
+                   (CASE WHEN is_img THEN NULL ELSE rate END)::INT AS sample_rate,
+                   (CASE WHEN is_img THEN NULL ELSE nf END)::INT AS n_samples,
+                   ((CASE WHEN is_img
+                       -- BMP: 'BM'(143) + filesize(54+px_n<256) + offset 54
+                       -- + hdrsize 40 + w + h + planes 1 + bpp 24 + px_n
+                       -- = 316 + 2*px_n + w + h, + pixel bytes
+                       THEN 316 + 2 * px_n + w + h
+                            + list_sum(list_transform(range(0, px_n),
+                                i -> (doc_id * 7 + i) % 251))
+                       -- WAV: fixed tags/fields sum 1407 + riffsize(36+dl)
+                       -- + datalen dl (dl=2*nf<256) + LE byte sums of
+                       -- rate/byterate (both < 2^16), + frame bytes
+                       ELSE 1407 + 36 + 4 * nf
+                            + (rate & 255) + ((rate >> 8) & 255)
+                            + ((rate * 2) & 255) + (((rate * 2) >> 8) & 255)
+                            + list_sum(list_transform(range(0, 2 * nf),
+                                i -> (doc_id * 13 + i) % 251))
                     END) % 1000000007)::BIGINT AS checksum
             FROM m
         """,

@@ -99,6 +99,7 @@ def start_ingest(
             salted_repartition(with_bucket(batch_df, n_buckets), parts)
         )
         extracted = extract_turns(staged).persist()
+        all_ranked = None
         try:
             # rank ALL turns (failures occupy ranks too), offset, THEN
             # filter — matches the batch path, and keeps rank_state
@@ -143,8 +144,11 @@ def start_ingest(
             )
             # lineage append LAST: its presence marks the epoch committed
             append_lineage(lineage_rows(extracted, run_id), f"{out_dir}/lineage")
-            all_ranked.unpersist()
         finally:
+            # both unpersists in finally: a throw in any append must not
+            # leak executor cache for the life of the streaming query
+            if all_ranked is not None:
+                all_ranked.unpersist()
             extracted.unpersist()
 
     return (

@@ -124,14 +124,51 @@ def test_multimodal_plumbing(spark):
     assert all(out[i]["n_bytes"] > 15 for i in range(20))
 
 
-def test_multimodal_real_decode_stubbed(spark):
-    from pdfwf_spark.operators.multimodal import decode_media, make_fake_media
+def test_multimodal_real_bmp_wav_decode(spark):
+    """fake=False is a REAL codec branch now: valid BMP and WAV bytes
+    decode to their true header fields (S8, narrowed from the
+    reference's fully-disabled visual path)."""
+    import io
+    import wave as wave_mod
 
-    media = spark.createDataFrame(
-        [(0, make_fake_media(0, "image"))], "doc_id long, content binary"
+    from pdfwf_spark.operators.multimodal import (
+        CHECKSUM_MOD, decode_media, make_real_media,
     )
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        decode_media(media, fake=False).collect()
+
+    rows = [(i, make_real_media(i, "image" if i % 2 == 0 else "audio"))
+            for i in range(12)]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in decode_media(media, fake=False).collect()}
+    for i, blob in rows:
+        assert out[i]["n_bytes"] == len(blob)
+        assert out[i]["checksum"] == sum(blob) % CHECKSUM_MOD
+        if i % 2 == 0:
+            assert out[i]["media_type"] == "image"
+            assert out[i]["width"] == 1 + i % 5
+            assert out[i]["height"] == 1 + i % 4
+        else:
+            assert out[i]["media_type"] == "audio"
+            # cross-check against the stdlib reader directly
+            with wave_mod.open(io.BytesIO(blob)) as w:
+                assert out[i]["sample_rate"] == w.getframerate()
+                assert out[i]["n_samples"] == w.getnframes()
+
+
+def test_multimodal_real_decode_unknown_and_strict(spark):
+    """Formats with no codec in this build: 'unknown' rows by default;
+    strict=True raises NotImplementedError naming the format (the
+    reference-analog disabled path, oreo.py:245-248)."""
+    from pdfwf_spark.operators.multimodal import decode_media
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    media = spark.createDataFrame(
+        [(0, png), (1, b"garbage")], "doc_id long, content binary"
+    )
+    out = {r["doc_id"]: r for r in decode_media(media, fake=False).collect()}
+    assert all(out[i]["media_type"] == "unknown" for i in (0, 1))
+    assert out[0]["checksum"] == sum(png) % 1_000_000_007
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        decode_media(media, fake=False, strict=True).collect()
 
 
 def test_tie_key_jvm_matches_golden_and_disambiguates(spark):
