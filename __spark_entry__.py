@@ -736,6 +736,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
 
+# hot-group caps mirrored into every banded-candidate oracle (the SQL
+# twin of dedup.cap_hot_groups — QUALIFY COUNT(*) OVER the bucket key)
+from pdfwf_spark.operators.dedup import (          # noqa: E402
+    DEFAULT_MAX_BUCKET as _MAX_BUCKET,
+    DEFAULT_MAX_SHINGLE_DF as _MAX_SHINGLE_DF,
+)
+
 _SHINGLES = (
     "SELECT doc_id, sh FROM ("
     "  SELECT doc_id, unnest(list_distinct(list_transform("
@@ -812,7 +819,10 @@ def _simhash_band_pairs_sql(bits: int, n_bands: int, max_hamming: int) -> str:
     )
     return f"""
         {_simhash_piv_sql(bits, n_bands)},
-        ex AS ({ex_union}),
+        ex0 AS ({ex_union}),
+        ex AS (SELECT * FROM ex0
+               QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val)
+                       <= {_MAX_BUCKET}),
         cands AS (
           SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
           FROM ex a JOIN ex b2
@@ -1045,12 +1055,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash128": _simhash_bands_select_sql(128, 4),
         "simhash_band_pairs": _simhash_band_pairs_sql(64, 4, 16),
         "simhash_band_pairs128": _simhash_band_pairs_sql(128, 4, 32),
-        "emb_neardup_lsh": """
+        "emb_neardup_lsh": f"""
             WITH v AS (
               SELECT vec_id, embedding::DOUBLE[] AS vec,
                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
               FROM embeddings),
-            buckets AS (
+            buckets0 AS (
               SELECT vec_id, tbl,
                      SUM(CASE WHEN list_sum(list_transform(range(1, len(vec) + 1),
                            j -> vec[j] * ((('0x' || substr(md5(
@@ -1062,6 +1072,9 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN (SELECT unnest(range(0, 2)) AS tbl) ts
               CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ps
               GROUP BY vec_id, tbl),
+            buckets AS (SELECT * FROM buckets0
+                        QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket)
+                                <= {_MAX_BUCKET}),
             cands AS (
               SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
               FROM buckets a JOIN buckets b2
@@ -1078,7 +1091,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE cos_milli >= 300
         """,
         "dedup_jaccard_pairs": f"""
-            WITH sh AS ({_SHINGLES}),
+            WITH sh0 AS ({_SHINGLES}),
+            -- hot-shingle df cap (mirror of cap_hot_groups max_df)
+            sh AS (SELECT doc_id, sh FROM sh0
+                   QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {_MAX_SHINGLE_DF}),
             counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
@@ -1093,22 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_lsh_pairs": f"""
             WITH sigs AS ({_MINHASH_SIG_SQL}),
-            bands AS (
-              SELECT doc_id, 0 AS band,
-                     md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS bucket FROM sigs
-              UNION ALL
-              SELECT doc_id, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sigs
-              UNION ALL
-              SELECT doc_id, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs
-              UNION ALL
-              SELECT doc_id, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs)
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        """,
-        "dedup_lsh_verified": f"""
-            WITH sigs AS ({_MINHASH_SIG_SQL}),
-            bands AS (
+            bands0 AS (
               SELECT doc_id, 0 AS band,
                      md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS bucket FROM sigs
               UNION ALL
@@ -1117,6 +1118,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs
               UNION ALL
               SELECT doc_id, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs),
+            -- hot-bucket cap (mirror of cap_hot_groups max_bucket_size)
+            bands AS (SELECT * FROM bands0
+                      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket)
+                              <= {_MAX_BUCKET})
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "dedup_lsh_verified": f"""
+            WITH sigs AS ({_MINHASH_SIG_SQL}),
+            bands0 AS (
+              SELECT doc_id, 0 AS band,
+                     md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS bucket FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs),
+            bands AS (SELECT * FROM bands0
+                      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket)
+                              <= {_MAX_BUCKET}),
             cands AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               FROM bands a JOIN bands b

@@ -20,10 +20,72 @@ compares lexicographically == numerically).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import logging
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+logger = logging.getLogger(__name__)
+
 SIMHASH_BITS = 16
+
+#: default hot-bucket cap for the banded candidate self-joins. A
+#: degenerate bucket (the all-zero simhash band every short doc lands
+#: in, a boilerplate-heavy minhash band) is quadratic WITHIN the
+#: bucket: 10^6 co-bucketed docs -> 5*10^11 candidate pairs from one
+#: key. Capping bucket size bounds any bucket's contribution to
+#: cap^2/2 pairs; docs above the cap are near-identical boilerplate
+#: whose dedup signal the exact_dedup pass already captures.
+DEFAULT_MAX_BUCKET = 500
+
+
+def cap_hot_groups(
+    exploded: DataFrame, keys: list[str], cap: int | None
+) -> DataFrame:
+    """Drop rows belonging to groups larger than `cap` — the quadratic
+    guard applied before every banded candidate self-join.
+
+    One window count over the group keys: the same hash partitioning
+    the self-join needs anyway, so the guard adds no extra shuffle of
+    the exploded rows (the window's exchange is the join's exchange).
+    """
+    if cap is None:
+        return exploded
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        exploded.withColumn("_grp_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_grp_n") <= cap)
+        .drop("_grp_n")
+    )
+
+
+def hot_group_report(
+    exploded: DataFrame, keys: list[str], cap: int
+) -> DataFrame:
+    """The groups `cap_hot_groups` would drop, with sizes — lazy; for
+    drop-rate monitoring next to the capped join."""
+    return (
+        exploded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > cap)
+    )
+
+
+def _log_drops(exploded: DataFrame, keys: list[str], cap: int | None,
+               op: str) -> None:
+    """Count + log the dropped hot groups (one cheap aggregate job).
+    Opt-in: triggers an action, so it is never run implicitly."""
+    if cap is None:
+        return
+    report = hot_group_report(exploded, keys, cap)
+    dropped = report.agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.coalesce(F.sum("group_size"), F.lit(0)).alias("rows"),
+    ).collect()[0]
+    logger.warning(
+        "%s: hot-bucket cap %d dropped %d groups (%d exploded rows)",
+        op, cap, dropped["groups"], dropped["rows"],
+    )
 
 
 def tokens(text_col: Column) -> Column:
@@ -114,10 +176,16 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Docs sharing >=1 band bucket (banding: P(candidate) rises
     sharply with Jaccard). Self-equi-join on (band, bucket) — the
     shuffle key is the band hash, so only genuine candidates collide.
+
+    Buckets larger than `max_bucket_size` are dropped before the
+    self-join (cap_hot_groups): without the cap one degenerate bucket
+    is quadratic within itself at corpus scale. None disables.
     """
     k = bands * rows_per_band
     missing = [f"sig_{i}" for i in range(k) if f"sig_{i}" not in sigs.columns]
@@ -135,6 +203,10 @@ def lsh_candidate_pairs(
     exploded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    if log_drops:
+        _log_drops(exploded, ["band", "bucket"], max_bucket_size,
+                   "lsh_candidate_pairs")
+    exploded = cap_hot_groups(exploded, ["band", "bucket"], max_bucket_size)
     a, b_ = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -150,22 +222,39 @@ def lsh_candidate_pairs(
     )
 
 
+#: default hot-shingle document-frequency cap for the standalone exact
+#: Jaccard. The blowup here is subtler than bucket size: a shingle
+#: present in d docs contributes d^2/2 rows to the intersection join,
+#: so ONE boilerplate trigram shared by 10^6 docs is 5*10^11 join rows.
+#: Shingles above the cap carry no dedup signal anyway (an idf floor).
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.05,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for all co-shingled pairs.
 
-    Scale note: use as the verifier stage after lsh_candidate_pairs
-    (join this against the candidate set); standalone it is quadratic
-    in hot-shingle frequency.
+    Scale note: prefer lsh_verified_neardups (exact Jaccard on LSH
+    candidates only). Standalone, this is quadratic in hot-SHINGLE
+    frequency, so shingles appearing in more than `max_df` documents
+    are excluded from BOTH the intersection and the per-doc counts —
+    Jaccard over the informative (df <= max_df) shingle vocabulary,
+    the same move as a stopword/idf floor. max_df=None restores the
+    unguarded exact semantics (only safe on bounded inputs).
     Output: id_a, id_b, jaccard_milli (int, round(1000*J) — integer so
     the DuckDB oracle hash-matches without float drift).
     """
     sh = exploded_shingles(docs, text_col, id_col, shingle_n)
+    if log_drops:
+        _log_drops(sh, ["sh"], max_df, "ngram_jaccard_pairs")
+    sh = cap_hot_groups(sh, ["sh"], max_df)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -285,6 +374,8 @@ def simhash_band_pairs(
     max_hamming: int = 16,
     bits: int = 64,
     n_bands: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Near-dup candidates by banded Hamming grouping over a banded
     SimHash.
@@ -295,7 +386,11 @@ def simhash_band_pairs(
     max_hamming <= n_bands-1 gives a COMPLETE result; larger
     thresholds are best-effort recall (standard banding trade-off).
     At corpus scale pass bits=128 (32-bit band space; see
-    simhash_bands). Output: id_a, id_b, hamming.
+    simhash_bands). Band buckets larger than `max_bucket_size` are
+    dropped pre-join (cap_hot_groups — the all-zero band every
+    short/empty doc hashes to is quadratic within itself otherwise);
+    the completeness guarantee then holds for pairs outside dropped
+    buckets. Output: id_a, id_b, hamming.
     """
     sigs = simhash_bands(docs, text_col, id_col, bits, n_bands)
     entries = F.array(
@@ -307,6 +402,10 @@ def simhash_band_pairs(
     exploded = sigs.select(
         F.col(id_col), F.explode(entries).alias("e")
     ).select(id_col, "e.band_idx", "e.band_val")
+    if log_drops:
+        _log_drops(exploded, ["band_idx", "band_val"], max_bucket_size,
+                   "simhash_band_pairs")
+    exploded = cap_hot_groups(exploded, ["band_idx", "band_val"], max_bucket_size)
     a, b_ = exploded.alias("a"), exploded.alias("b")
     cands = (
         a.join(
@@ -350,6 +449,7 @@ def lsh_verified_neardups(
     bands: int = 4,
     rows_per_band: int = 2,
     threshold: float = 0.05,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash-LSH candidate
     generation -> exact Jaccard verification ON CANDIDATES ONLY.
@@ -363,7 +463,8 @@ def lsh_verified_neardups(
     Output: id_a, id_b, jaccard_milli (int).
     """
     sigs = minhash_signatures(docs, text_col, id_col, k, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band,
+                                max_bucket_size)
     sh = exploded_shingles(docs, text_col, id_col, shingle_n)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # intersection size per candidate pair: attach a-side shingles,

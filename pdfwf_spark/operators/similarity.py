@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pdfwf_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET, _log_drops, cap_hot_groups,
+)
+
 
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -321,6 +325,8 @@ def bucketed_neardup_pairs(
     vec_col: str = "embedding",
     n_tables: int = 2,
     seed: int = 42,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine >= threshold) among same-bucket
     vectors — the 100 TB path: per-table bucket equi-joins bound the
@@ -329,6 +335,11 @@ def bucketed_neardup_pairs(
     the standard multi-table LSH trade: recall vs n_tables x work).
     Candidates are distinct'd before scoring so cosine is computed
     once per pair.
+
+    max_bucket_size (default dedup.DEFAULT_MAX_BUCKET): hyperplane
+    buckets larger than the cap are dropped before the self-join —
+    without it one degenerate bucket (e.g. the cell all zero-vectors
+    hash into) is quadratic within itself at corpus scale.
     """
     from pdfwf_spark.operators.partitioning import repartition_for_scan
 
@@ -349,6 +360,10 @@ def bucketed_neardup_pairs(
         )
     ).alias("tb")
     exploded = base.select("id", tb).select("id", "tb.tbl", "tb.bucket")
+    if log_drops:
+        _log_drops(exploded, ["tbl", "bucket"], max_bucket_size,
+                   "bucketed_neardup_pairs")
+    exploded = cap_hot_groups(exploded, ["tbl", "bucket"], max_bucket_size)
     a, b_ = exploded.alias("a"), exploded.alias("b")
     cands = (
         a.join(
