@@ -29,9 +29,11 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from pdfwf_spark.operators.extract import extract_turns, successes
+from pdfwf_spark.operators.extract import extract_turns
 from pdfwf_spark.operators.lineage import filter_uncommitted, lineage_rows, read_lineage
+from pdfwf_spark.schemas import LINEAGE_SCHEMA
 from pdfwf_spark.operators.ordering import sort_for_extraction, with_turn_rank
 from pdfwf_spark.operators.partitioning import (
     DEFAULT_BUCKETS,
@@ -148,60 +150,86 @@ def run_extraction(
     staged = _stage_inputs(
         inputs.drop("bucket"), n_buckets, n_partitions, n_salts, prepartition
     )
-    extracted = extract_turns(staged)
+    # ONE materialization of the extraction output: the all-status
+    # ranked rows go straight to the staging write (no persist — at
+    # 100 TB a MEMORY_AND_DISK persist of the full post-extraction
+    # corpus is a second full-corpus copy on executor disks). Lineage
+    # and stats are then derived from a partition-pruned (run_id=...),
+    # column-pruned read-back of exactly the files just written.
+    # Failure rows are written too (rank over ALL turns keeps a turn's
+    # rank stable regardless of neighboring failures — matching
+    # extract_df and the golden generator); read_output filters them,
+    # preserving the reference's failed-docs-have-no-output-row
+    # semantics (README.md:115-116) while lineage still counts them.
+    all_ranked = with_turn_rank(extract_turns(staged)).withColumn(
+        "run_id", F.lit(run_id)
+    )
+    if markdown_compat:
+        from pdfwf_spark.operators.functions import markdown_compatible_col
 
-    # One pass over the UDF output feeds both the data write and the
-    # lineage aggregate; persist avoids re-running extraction.
-    extracted = extracted.persist()
-    try:
-        # rank over ALL turns (failures occupy ranks too) so a turn's
-        # rank is stable regardless of neighboring failures — matches
-        # extract_df and the golden generator
-        ranked = successes(with_turn_rank(extracted)).withColumn(
-            "run_id", F.lit(run_id)
+        all_ranked = all_ranked.withColumn(
+            "clean_text", markdown_compatible_col(F.col("clean_text"))
         )
-        if markdown_compat:
-            from pdfwf_spark.operators.functions import markdown_compatible_col
+    t_write = time.monotonic()
+    append_data(all_ranked, data_path)
+    write_s = time.monotonic() - t_write
 
-            ranked = ranked.withColumn(
-                "clean_text", markdown_compatible_col(F.col("clean_text"))
-            )
-        t_write = time.monotonic()
-        append_data(ranked, data_path)
-        write_s = time.monotonic() - t_write
-        lineage = lineage_rows(extracted, run_id)
-        stats = (
-            extracted.groupBy()
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(F.col("parse_status") == "ok", 1).otherwise(0)).alias("ok"),
-                F.countDistinct("bucket").alias("buckets"),
-            )
-            .collect()[0]
-        )
-        t_lineage = time.monotonic()
-        append_lineage(lineage, lineage_path)
-        lineage_s = time.monotonic() - t_lineage
-    finally:
-        extracted.unpersist()
+    t_lineage = time.monotonic()
+    lin_rows = lineage_from_written(spark, data_path, run_id).collect()
+    # <= n_buckets rows land on the driver; re-wrapping them keeps the
+    # lineage append from re-scanning the read-back a second time
+    append_lineage(
+        spark.createDataFrame(lin_rows, LINEAGE_SCHEMA), lineage_path
+    )
+    lineage_s = time.monotonic() - t_lineage
 
-    n, ok = (stats["n"] or 0), (stats["ok"] or 0)
+    n = sum(r["input_count"] for r in lin_rows)
+    ok = sum(r["ok_count"] for r in lin_rows)
     return RunResult(
         run_id=run_id,
         input_rows=n,
         ok_rows=ok,
         failed_rows=n - ok,
-        buckets_processed=stats["buckets"] or 0,
+        buckets_processed=len({r["bucket"] for r in lin_rows}),
         elapsed_s=time.monotonic() - t0,
         write_s=write_s,
         lineage_s=lineage_s,
     )
 
 
+# the only columns the commit path reads back after the staging write —
+# the lineage aggregate's inputs plus the bucket partition column
+_READBACK_SCHEMA = T.StructType(
+    [
+        T.StructField("parse_status", T.StringType(), True),
+        T.StructField("bytes_in", T.LongType(), True),
+        T.StructField("bytes_out", T.LongType(), True),
+        T.StructField("extract_us", T.LongType(), True),
+        T.StructField("bucket", T.IntegerType(), True),
+    ]
+)
+
+
+def lineage_from_written(spark: SparkSession, data_path: str, run_id: str) -> DataFrame:
+    """Per-bucket lineage for one run, derived from the files the run
+    just wrote: a partition-pruned (run_id=...) scan reading only the
+    five lineage-input columns — never a cached copy of the corpus."""
+    from pdfwf_spark.operators.lineage import read_or_empty
+
+    written = read_or_empty(
+        spark, f"{data_path}/run_id={run_id}", _READBACK_SCHEMA
+    )
+    return lineage_rows(written, run_id)
+
+
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     """Committed success rows: data filtered to run_ids present in
-    lineage (orphans from partially-failed runs are invisible)."""
+    lineage (orphans from partially-failed runs are invisible) and to
+    parse_status='ok' (failed turns are lineage-counted, never rows —
+    reference README.md:115-116)."""
     data = spark.read.parquet(f"{out_dir}/turns")
     lineage = read_lineage(spark, f"{out_dir}/lineage")
     committed = lineage.select("run_id", "bucket").distinct()
-    return data.join(F.broadcast(committed), ["run_id", "bucket"], "left_semi")
+    return data.filter(F.col("parse_status") == "ok").join(
+        F.broadcast(committed), ["run_id", "bucket"], "left_semi"
+    )

@@ -35,8 +35,15 @@ def iceberg_available(spark: SparkSession) -> bool:
     return False
 
 
-def append_data(df: DataFrame, target: str, partition_col: str = "bucket") -> None:
-    """Append rows to the output table/path."""
+def append_data(
+    df: DataFrame, target: str, partition_cols: tuple[str, ...] = ("run_id", "bucket")
+) -> None:
+    """Append rows to the output table/path.
+
+    Default physical layout run_id/bucket: the run_id level lets a
+    commit derive its lineage from a PARTITION-PRUNED read-back of
+    exactly the files it just wrote (pipeline.run_extraction), and the
+    bucket level keeps resume/bucket filters as partition filters."""
     spark = df.sparkSession
     if "://" not in target and not target.startswith("/"):
         # catalog table name (Iceberg path)
@@ -44,7 +51,7 @@ def append_data(df: DataFrame, target: str, partition_col: str = "bucket") -> No
             df.writeTo(target).append()
             return
         raise ValueError(f"catalog table {target!r} requires an Iceberg catalog")
-    df.write.mode("append").partitionBy(partition_col).parquet(target)
+    df.write.mode("append").partitionBy(*partition_cols).parquet(target)
 
 
 def append_lineage(df: DataFrame, target: str) -> None:

@@ -135,3 +135,23 @@ def test_rebalance_index_avoids_single_partition_window(spark):
         assert "BroadcastExchange" in plan  # offsets join broadcasts
     finally:
         handle.unpersist()
+
+
+def test_commit_readback_pruned_no_cache(spark, transcripts, tmp_path):
+    """The commit path holds NO cached copy of the corpus: lineage is
+    derived from a partition-pruned (run_id=...) read-back of the
+    files just written, reading only the 5 lineage-input columns."""
+    from pdfwf_spark.pipeline import lineage_from_written, run_extraction
+
+    out = str(tmp_path / "outp")
+    res = run_extraction(spark, transcripts, out, n_buckets=8, n_partitions=4)
+    lin = lineage_from_written(spark, f"{out}/turns", res.run_id)
+    plan = _plan(lin)
+    assert "InMemoryTableScan" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "parse_status" in read_schema and "extract_us" in read_schema
+    # the heavy columns never leave the files
+    assert "clean_text" not in read_schema and "spans" not in read_schema
+    # scan location is the single run's partition directory
+    files = lin.inputFiles()
+    assert files and all(f"run_id={res.run_id}" in f for f in files)
