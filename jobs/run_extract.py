@@ -10,6 +10,10 @@ Cluster usage (the north-rule deployment shape):
         --output <warehouse path>  \
         --buckets 4096 --salts 64 [--no-resume] [--run-id RID]
 
+    # or, the reference's production UX (convert.py:185-224): every
+    # flag from a YAML file, explicit CLI flags overriding
+    spark-submit ... jobs/run_extract.py --config extract.yaml
+
 Local smoke:
 
     spark-submit --master 'local[8]' --py-files /tmp/pdfwf_spark.zip \
@@ -28,14 +32,17 @@ import json
 import sys
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="transcripts table/path")
-    ap.add_argument("--output", required=True, help="output warehouse dir")
-    ap.add_argument("--buckets", type=int, default=4096,
-                    help="commit/resume buckets (conv-hash)")
-    ap.add_argument("--salts", type=int, default=64,
-                    help="per-turn salt fan-out inside a bucket")
+    ap.add_argument("--config", default=None,
+                    help="YAML config file (reference convert.py:185-224 "
+                         "UX); explicit CLI flags override its values")
+    ap.add_argument("--input", default=None, help="transcripts table/path")
+    ap.add_argument("--output", default=None, help="output warehouse dir")
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="commit/resume buckets (conv-hash; default 4096)")
+    ap.add_argument("--salts", type=int, default=None,
+                    help="per-turn salt fan-out inside a bucket (default 64)")
     ap.add_argument("--partitions", type=int, default=None,
                     help="shuffle partitions for the extract stage")
     ap.add_argument("--limit", type=int, default=None,
@@ -48,7 +55,32 @@ def main() -> None:
     ap.add_argument("--rebalance-rows", type=int, default=None,
                     help="post-run S9 rebalance: re-shard {output}/turns "
                          "to exactly N rows per file (balance.py analog)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
+
+    from pdfwf_spark.config import ExtractConfig
+
+    # YAML first, explicit CLI flags on top (pydantic-settings
+    # precedence: reference utils.py:30-89)
+    yaml_vals = (ExtractConfig.from_yaml(args.config).__dict__
+                 if args.config else {})
+    def pick(key: str, cli_val, default):
+        if cli_val is not None and cli_val is not False:
+            return cli_val
+        return yaml_vals.get(key, default) if key in yaml_vals else default
+
+    cfg = ExtractConfig(
+        input=pick("input", args.input, None) or ap.error("--input or config 'input' required"),
+        output=pick("output", args.output, None) or ap.error("--output or config 'output' required"),
+        buckets=pick("buckets", args.buckets, 4096),
+        salts=pick("salts", args.salts, 64),
+        partitions=pick("partitions", args.partitions, None),
+        limit=pick("limit", args.limit, None),
+        run_id=pick("run_id", args.run_id, None),
+        resume=yaml_vals.get("resume", True) and not args.no_resume,
+        markdown_compat=pick("markdown_compat", args.markdown_compat, False),
+        prepartition=yaml_vals.get("prepartition", "auto"),
+        rebalance_rows=pick("rebalance_rows", args.rebalance_rows, None),
+    )
 
     from pyspark.sql import SparkSession
 
@@ -57,34 +89,35 @@ def main() -> None:
     spark = SparkSession.builder.appName("pdfwf_spark_extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if args.input.endswith((".parquet", "/")) or "/" in args.input:
-        transcripts = spark.read.parquet(args.input)
+    if cfg.input.endswith((".parquet", "/")) or "/" in cfg.input:
+        transcripts = spark.read.parquet(cfg.input)
     else:
-        transcripts = spark.read.table(args.input)
-    if args.limit:
-        transcripts = transcripts.limit(args.limit)
+        transcripts = spark.read.table(cfg.input)
+    if cfg.limit:
+        transcripts = transcripts.limit(cfg.limit)
 
     result = run_extraction(
         spark,
         transcripts,
-        args.output,
-        run_id=args.run_id,
-        n_buckets=args.buckets,
-        n_partitions=args.partitions,
-        n_salts=args.salts,
-        resume=not args.no_resume,
-        markdown_compat=args.markdown_compat,
+        cfg.output,
+        run_id=cfg.run_id,
+        n_buckets=cfg.buckets,
+        n_partitions=cfg.partitions,
+        n_salts=cfg.salts,
+        resume=cfg.resume,
+        prepartition=cfg.prepartition,
+        markdown_compat=cfg.markdown_compat,
     )
-    if args.rebalance_rows:
+    if cfg.rebalance_rows:
         # rebalance the COMMITTED view (read_output hides orphan rows
         # from attempts that crashed between data and lineage appends)
         from pdfwf_spark.operators.rebalance import rebalance
         from pdfwf_spark.pipeline import read_output
 
         n_files = rebalance(
-            read_output(spark, args.output),
-            f"{args.output}/turns_balanced",
-            args.rebalance_rows,
+            read_output(spark, cfg.output),
+            f"{cfg.output}/turns_balanced",
+            cfg.rebalance_rows,
             order_by=["conv_id", "turn_rank"],
         )
         result.__dict__["balanced_file_groups"] = n_files

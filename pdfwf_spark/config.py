@@ -1,0 +1,84 @@
+"""YAML-driven job configuration (reference production UX parity).
+
+The reference's primary entrypoint is a YAML file loaded into a
+pydantic model (`python -m pdfwf.convert --config cfg.yaml`;
+reference pdfwf/convert.py:185-224 WorkflowSettings,
+pdfwf/utils.py:30-89 BaseSettings.from_yaml). The engine mirrors
+that surface with a stdlib dataclass + PyYAML: every field of
+ExtractConfig is a CLI flag of jobs/run_extract.py, and explicit CLI
+flags override YAML values (the same precedence pydantic-settings
+gives).
+
+    # extract.yaml
+    input: /data/transcripts          # table name or parquet path
+    output: /warehouse/extracted
+    buckets: 4096
+    salts: 64
+    markdown_compat: true
+
+    spark-submit --py-files pdfwf_spark.zip jobs/run_extract.py \
+        --config extract.yaml
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, fields
+from pathlib import Path
+
+
+@dataclass
+class ExtractConfig:
+    """The extraction job's full config surface.
+
+    Field-by-field analog of the reference WorkflowSettings
+    (convert.py:185-210): pdf_dir->input, out_dir->output,
+    num_conversions->limit, chunk_size->buckets/salts; engine-only
+    knobs (partitions, prepartition, rebalance_rows) cover the Spark
+    execution shape the reference delegates to Parsl configs.
+    """
+
+    input: str
+    output: str
+    buckets: int = 4096
+    salts: int = 64
+    partitions: int | None = None
+    limit: int | None = None
+    run_id: str | None = None
+    resume: bool = True
+    markdown_compat: bool = False
+    prepartition: str = "auto"
+    rebalance_rows: int | None = None
+
+    def __post_init__(self) -> None:
+        if not self.input or not self.output:
+            raise ValueError("config requires non-empty 'input' and 'output'")
+        if self.prepartition not in ("auto", "always", "never"):
+            raise ValueError(
+                f"prepartition must be auto|always|never, got {self.prepartition!r}"
+            )
+        for f in ("buckets", "salts"):
+            if getattr(self, f) < 1:
+                raise ValueError(f"{f} must be >= 1")
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "ExtractConfig":
+        """Load + validate; unknown keys are an error (typo'd keys
+        silently ignored is the classic config footgun — the
+        reference's pydantic models reject them too)."""
+        import yaml
+
+        raw = yaml.safe_load(Path(path).read_text()) or {}
+        if not isinstance(raw, dict):
+            raise ValueError(f"{path}: top level must be a mapping")
+        known = {f.name for f in fields(cls)}
+        unknown = sorted(set(raw) - known)
+        if unknown:
+            raise ValueError(
+                f"{path}: unknown config keys {unknown}; valid: {sorted(known)}"
+            )
+        return cls(**raw)
+
+    def to_yaml(self, path: str | Path) -> None:
+        import yaml
+
+        Path(path).write_text(yaml.safe_dump(asdict(self), sort_keys=False))
