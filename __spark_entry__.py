@@ -140,7 +140,7 @@ def _q_f2_blank_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     noisy = F.regexp_replace(F.col("text"), " the ", "\n\n\n\n")
     cleaned = F.regexp_replace(
-        F.regexp_replace(noisy, r"\n{3,}", "\n\n"), r"^\s+|\s+$", ""
+        F.regexp_replace(noisy, r"\n{3,}", "\n\n"), r"^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$", ""
     )
     return docs.select("doc_id", cleaned.alias("cleaned"))
 
@@ -150,7 +150,7 @@ def _q_f3_ws_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     noisy = F.regexp_replace(F.col("text"), " (and|or) ", "\n \n\t\n")
     return docs.select(
-        "doc_id", F.regexp_replace(noisy, r"(\n\s*)+", "\n").alias("cleaned")
+        "doc_id", F.regexp_replace(noisy, r"(\n[ \t\r\n\f\x0B]*)+", "\n").alias("cleaned")
     )
 
 
@@ -865,7 +865,7 @@ def oracle_sql() -> dict[str, str]:
         "f1_doi_extract": r"""
             SELECT doc_id,
                    regexp_extract('ref doi:10.5555/d' || doc_id || ' tail',
-                                  '(?:doi:\s*|doi\.org/)(\S+)', 1) AS doi
+                                  '(?:doi:[ \t\r\n\f\x0B]*|doi\.org/)([^ \t\r\n\f\x0B]+)', 1) AS doi
             FROM documents
         """,
         "f2_blank_collapse": r"""
@@ -874,14 +874,14 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(
                        regexp_replace(text, ' the ', chr(10)||chr(10)||chr(10)||chr(10), 'g'),
                        '\n{3,}', chr(10)||chr(10), 'g'),
-                     '^\s+|\s+$', '', 'g') AS cleaned
+                     '^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$', '', 'g') AS cleaned
             FROM documents
         """,
         "f3_ws_collapse": r"""
             SELECT doc_id,
                    regexp_replace(
                      regexp_replace(text, ' (and|or) ', chr(10)||' '||chr(10)||chr(9)||chr(10), 'g'),
-                     '(\n\s*)+', chr(10), 'g') AS cleaned
+                     '(\n[ \t\r\n\f\x0B]*)+', chr(10), 'g') AS cleaned
             FROM documents
         """,
         "f4_abstract_threshold": """
@@ -909,17 +909,17 @@ def oracle_sql() -> dict[str, str]:
             c AS (
               SELECT doc_id, payload,
                      regexp_replace(regexp_replace(payload, '\n{3,}', chr(10)||chr(10), 'g'),
-                                    '^\s+|\s+$', '', 'g') AS clean,
+                                    '^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$', '', 'g') AS clean,
                      regexp_replace(regexp_extract(payload, '(?m)^Subject:[ \t]*(.*)$', 1),
-                                    '^\s+|\s+$', '', 'g') AS subject
+                                    '^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$', '', 'g') AS subject
               FROM p)
             SELECT doc_id,
-                   regexp_replace(regexp_extract(payload, '(?m)^Title:[ \t]*(.*)$', 1), '^\s+|\s+$', '', 'g') AS title,
-                   regexp_replace(regexp_extract(payload, '(?m)^Authors?:[ \t]*(.*)$', 1), '^\s+|\s+$', '', 'g') AS authors,
-                   regexp_replace(regexp_extract(payload, '(?m)^(?:Creation-Date|Created|Date):[ \t]*(.*)$', 1), '^\s+|\s+$', '', 'g') AS creationdate,
-                   regexp_replace(regexp_extract(payload, '(?m)^Keywords:[ \t]*(.*)$', 1), '^\s+|\s+$', '', 'g') AS keywords,
-                   regexp_extract(payload, '(?:doi:\s*|doi\.org/)(\S+)', 1) AS doi,
-                   regexp_replace(regexp_extract(payload, '(?m)^Producer:[ \t]*(.*)$', 1), '^\s+|\s+$', '', 'g') AS producer,
+                   regexp_replace(regexp_extract(payload, '(?m)^Title:[ \t]*(.*)$', 1), '^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$', '', 'g') AS title,
+                   regexp_replace(regexp_extract(payload, '(?m)^Authors?:[ \t]*(.*)$', 1), '^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$', '', 'g') AS authors,
+                   regexp_replace(regexp_extract(payload, '(?m)^(?:Creation-Date|Created|Date):[ \t]*(.*)$', 1), '^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$', '', 'g') AS creationdate,
+                   regexp_replace(regexp_extract(payload, '(?m)^Keywords:[ \t]*(.*)$', 1), '^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$', '', 'g') AS keywords,
+                   regexp_extract(payload, '(?:doi:[ \t\r\n\f\x0B]*|doi\.org/)([^ \t\r\n\f\x0B]+)', 1) AS doi,
+                   regexp_replace(regexp_extract(payload, '(?m)^Producer:[ \t]*(.*)$', 1), '^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$', '', 'g') AS producer,
                    'plain' AS format,
                    substr(string_split(clean, chr(10)||chr(10))[1], 1, 2000) AS first_page,
                    CASE WHEN length(subject) > 580 THEN subject ELSE '' END AS abstract
@@ -932,13 +932,13 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(
                          regexp_replace(
                            regexp_replace(payload,
-                             '(?m)^(#{1,6})([^#\s])', '\1 \2', 'g'),
+                             '(?m)^(#{1,6})([^# \t\r\n\f\x0B])', '\1 \2', 'g'),
                            '(?m)^\(([0-9][0-9.]*[A-Za-z]?)\) \\\[(.+)\\\]$',
                            '\\[\2 \\tag{\1}\\]', 'g'),
                          '(?m)^\\\[(.+)\\\] \(([0-9][0-9.]*[A-Za-z]?)\)$',
                          '\\[\1 \\tag{\2}\\]', 'g'),
                        '\bm{', '\mathbf{'), '\. ', '. '),
-                     '(?m)(^|\s)(https?://[^\s<>)\]"'']+)', '\1[\2](\2)', 'g') AS md_text
+                     '(^|[ \t\r\n\f\x0B])(https?://[^ \t\r\n\f\x0B<>)\]"'']+)', '\1[\2](\2)', 'g') AS md_text
             FROM (
               SELECT doc_id,
                      '#Intro ' || doc_id || chr(10) ||
@@ -1383,7 +1383,7 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(
                        text || chr(10)||chr(10)||chr(10)||chr(10) || 'tail paragraph here.',
                        '\n{3,}', chr(10)||chr(10), 'g'),
-                     '^\s+|\s+$', '', 'g') AS clean_text
+                     '^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$', '', 'g') AS clean_text
             FROM ranked WHERE fam = 2
         """,
         "extract_html_parity": r"""
@@ -1400,7 +1400,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx::INT AS turn_idx, turn_rank,
                    regexp_replace(
                      regexp_replace(text, '[ \t\r\f\v]+', ' ', 'g'),
-                     '^\s+|\s+$', '', 'g') AS clean_text,
+                     '^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$', '', 'g') AS clean_text,
                    'doc' AS title
             FROM ranked WHERE fam = 0
         """,
@@ -1417,8 +1417,8 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
             SELECT conv_id, turn_idx::INT AS turn_idx, turn_rank,
                    regexp_replace(
-                     regexp_replace(text, '(\n\s*)+', chr(10), 'g'),
-                     '^\s+|\s+$', '', 'g') AS clean_text,
+                     regexp_replace(text, '(\n[ \t\r\n\f\x0B]*)+', chr(10), 'g'),
+                     '^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$', '', 'g') AS clean_text,
                    'synthetic doc' AS title
             FROM ranked WHERE fam = 1
         """,

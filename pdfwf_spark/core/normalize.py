@@ -10,9 +10,25 @@ from __future__ import annotations
 
 import re
 
+# Engine-pinned regex building blocks. The same patterns run in three
+# engines (Python re here, Java regex in operators/functions.py, RE2
+# in the DuckDB oracles) whose \s, ., (?m)^ and $ semantics all
+# differ: Python \s is Unicode while Java/RE2 \s are ASCII (and RE2's
+# lacks \x0B); Java (?m) treats \r//  as line terminators
+# while Python/RE2 are \n-only; Java . excludes \r, Python/RE2 . do
+# not. So the twins use ONLY explicit forms: WS_CLASS for whitespace,
+# [^\n] for "rest of line", and \n-anchored groups instead of (?m).
+WS_CLASS = r" \t\r\n\f\x0B"          # == ASCII_WS, as a regex class body
+LINE_START = r"(?:^|(?<=\n))"        # Python/Java twin of \n-only (?m)^
+# \n-only (?m)$ twin: before a \n, or at ABSOLUTE end. Bare $ differs
+# again (Java matches before a final \r; Python before a final \n);
+# (?![\s\S]) is "no character follows" in every engine.
+LINE_END = r"(?:(?=\n)|(?![\s\S]))"
+
 # F1 — DOI extraction. Reference: pdfwf/parsers/pymupdf.py:36-39 and
-# pdfwf/parsers/pypdf.py:43-46 use r'(doi:\s*|doi\.org/)(\S+)' group(2).
-DOI_RE = re.compile(r"(doi:\s*|doi\.org/)(\S+)")
+# pdfwf/parsers/pypdf.py:43-46 use r'(doi:\s*|doi\.org/)(\S+)'
+# group(2); \s/\S pinned to the explicit ASCII class for twin parity.
+DOI_RE = re.compile(rf"(doi:[{WS_CLASS}]*|doi\.org/)([^{WS_CLASS}]+)")
 
 # F2 — blank-line collapse. Reference: pdfwf/parsers/nougat_.py:250
 # (re.sub(r'\n{3,}', '\n\n', out).strip()).
@@ -21,7 +37,7 @@ BLANK_RUN_RE = re.compile(r"\n{3,}")
 # F3 — whitespace-run collapse. Reference:
 # pdfwf/parsers/oreo/tensor_utils.py:2399,2414-2415
 # (re.sub(re.compile(r'(\n\s*)+'), '\n', proc_text)).
-WS_RUN_RE = re.compile(r"(\n\s*)+")
+WS_RUN_RE = re.compile(rf"(\n[{WS_CLASS}]*)+")
 
 # F4 — abstract-length threshold. Reference: pdfwf/parsers/pymupdf.py:34
 # (ABSTRACT_THRESHOLD = 580), applied at pymupdf.py:76-80.
@@ -84,10 +100,18 @@ def squeeze_spaces(text: str) -> str:
 #      (only at start-of-line/after whitespace, so an existing
 #      '[text](url)' link is never rewritten — repair stays idempotent
 #      on well-formed markdown)
-MD_HEADING_RE = re.compile(r"(?m)^(#{1,6})([^#\s])")
-MD_TAG_LEAD_RE = re.compile(r"(?m)^\(([0-9][0-9.]*[A-Za-z]?)\) \\\[(.+)\\\]$")
-MD_TAG_TRAIL_RE = re.compile(r"(?m)^\\\[(.+)\\\] \(([0-9][0-9.]*[A-Za-z]?)\)$")
-MD_URL_RE = re.compile(r"(?m)(^|\s)(https?://[^\s<>)\]\"']+)")
+# All patterns in the pinned explicit form (see WS_CLASS/LINE_START
+# above) so the Java twins in operators/functions.py fire on EXACTLY
+# the same inputs — including CRLF and NBSP payloads, where (?m)//\s
+# semantics differ across engines.
+MD_HEADING_RE = re.compile(rf"{LINE_START}(#{{1,6}})([^#{WS_CLASS}])")
+MD_TAG_LEAD_RE = re.compile(
+    rf"{LINE_START}\(([0-9][0-9.]*[A-Za-z]?)\) \\\[([^\n]+)\\\]{LINE_END}"
+)
+MD_TAG_TRAIL_RE = re.compile(
+    rf"{LINE_START}\\\[([^\n]+)\\\] \(([0-9][0-9.]*[A-Za-z]?)\){LINE_END}"
+)
+MD_URL_RE = re.compile(rf"(^|[{WS_CLASS}])(https?://[^{WS_CLASS}<>)\]\"']+)")
 
 
 def markdown_compatible(text: str) -> str:

@@ -26,15 +26,23 @@ from pdfwf_spark.core.normalize import (
     extract_doi,
 )
 
-SUBJECT_RE = re.compile(r"^Subject:[ \t]*(.*)$", re.M)
+# Header patterns in the engine-pinned form (normalize.LINE_START +
+# [^\n] instead of re.M ^(.*)$): Java (?m)/. treat \r//
+# as line terminators where Python/RE2 do not, so the JVM twins in
+# operators/functions.py would otherwise diverge on CRLF payloads.
+from pdfwf_spark.core.normalize import LINE_START
+
+SUBJECT_RE = re.compile(rf"{LINE_START}Subject:[ \t]*([^\n]*)")
 
 # Header-line analogs of the PDF metadata dict fields (pymupdf.py:68-82)
 HEADER_RES = {
-    "title": re.compile(r"^Title:[ \t]*(.*)$", re.M),
-    "authors": re.compile(r"^Authors?:[ \t]*(.*)$", re.M),
-    "creationdate": re.compile(r"^(?:Creation-Date|Created|Date):[ \t]*(.*)$", re.M),
-    "keywords": re.compile(r"^Keywords:[ \t]*(.*)$", re.M),
-    "producer": re.compile(r"^Producer:[ \t]*(.*)$", re.M),
+    "title": re.compile(rf"{LINE_START}Title:[ \t]*([^\n]*)"),
+    "authors": re.compile(rf"{LINE_START}Authors?:[ \t]*([^\n]*)"),
+    "creationdate": re.compile(
+        rf"{LINE_START}(?:Creation-Date|Created|Date):[ \t]*([^\n]*)"
+    ),
+    "keywords": re.compile(rf"{LINE_START}Keywords:[ \t]*([^\n]*)"),
+    "producer": re.compile(rf"{LINE_START}Producer:[ \t]*([^\n]*)"),
 }
 
 PLAIN_FORMAT = "plain"  # the reference's doc.metadata['format'] analog

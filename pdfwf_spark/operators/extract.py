@@ -29,8 +29,31 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pdfwf_spark.core.route import extract_payload
 from pdfwf_spark.schemas import EXTRACTED_SCHEMA
+
+# warm-start state, one per python worker process (the registry
+# analog: reference registry.py:44-136 caches the loaded model;
+# here the "model" is the extractor module's compiled-regex tables).
+# _INIT_US is measured ONCE per process and emitted on the first row
+# of that worker's first batch, so lineage can aggregate a true
+# per-executor 'initialize-parser' wall (timer.py:36-129 — the ~2 min
+# stage the reference excludes from throughput).
+_EXTRACT_PAYLOAD = None
+_INIT_US: int | None = None
+
+
+def _warm_parser():
+    """Import + compile the extractor core, timing the first load."""
+    global _EXTRACT_PAYLOAD, _INIT_US
+    if _EXTRACT_PAYLOAD is None:
+        import time
+
+        t0 = time.monotonic_ns()
+        from pdfwf_spark.core.route import extract_payload
+
+        _EXTRACT_PAYLOAD = extract_payload
+        _INIT_US = (time.monotonic_ns() - t0) // 1000
+    return _EXTRACT_PAYLOAD
 
 
 def tie_key_col(text: str = "text", tool: str = "tool") -> Column:
@@ -56,6 +79,13 @@ def tie_key_col(text: str = "text", tool: str = "tool") -> Column:
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import time
 
+    extract_payload = _warm_parser()
+    # init cost is reported exactly once per worker process: on the
+    # first row of the first batch this generator instance emits,
+    # IF no earlier task in this process already reported it
+    global _INIT_US
+    init_to_report, _INIT_US = (_INIT_US or 0), 0
+
     for pdf in batches:
         n = len(pdf)
         if n == 0:
@@ -72,6 +102,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         meta: list[dict] = [{} for _ in range(n)]
         bytes_in = [0] * n
         bytes_out = [0] * n
+        init_us = [0] * n
+        if init_to_report:
+            init_us[0], init_to_report = init_to_report, 0
         for i in range(n):
             res = extract_payload(texts[i], tools[i])
             parser[i] = res.parser
@@ -104,6 +137,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "bytes_in": bytes_in,
                 "bytes_out": bytes_out,
                 "extract_us": [extract_us] * n,
+                "init_us": init_us,
                 "bucket": pdf["bucket"].values,
                 # computed JVM-side pre-UDF (tie_key_col); pass-through
                 "tie_key": pdf["tie_key"].values,

@@ -10,12 +10,24 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from pdfwf_spark.core.normalize import ABSTRACT_THRESHOLD
+from pdfwf_spark.core.normalize import (
+    ABSTRACT_THRESHOLD,
+    LINE_END,
+    LINE_START,
+    WS_CLASS,
+)
 
-# Java-regex renderings of the same patterns in core/normalize.py
-DOI_PATTERN = r"(?:doi:\s*|doi\.org/)(\S+)"
+# Java-regex renderings of the same patterns in core/normalize.py.
+# Twin-parity contract: every pattern is built from the SAME pinned
+# pieces (WS_CLASS / LINE_START / [^\n]) as the Python side — never
+# \s or (?m), whose semantics differ between Python and Java regex
+# (Java \s is ASCII-only, Java (?m) anchors at \r//; see
+# core/normalize.py). A CRLF or NBSP payload must take the identical
+# path through both engines.
+DOI_PATTERN = rf"(?:doi:[{WS_CLASS}]*|doi\.org/)([^{WS_CLASS}]+)"
 BLANK_RUN_PATTERN = r"\n{3,}"
-WS_RUN_PATTERN = r"(\n\s*)+"
+WS_RUN_PATTERN = rf"(\n[{WS_CLASS}]*)+"
+STRIP_PATTERN = rf"^[{WS_CLASS}]+|[{WS_CLASS}]+$"
 
 
 def doi_extract(c: Column) -> Column:
@@ -24,10 +36,10 @@ def doi_extract(c: Column) -> Column:
 
 
 def collapse_blank_runs(c: Column) -> Column:
-    """F2 — nougat_.py:250 (strip twin of str.strip(): ALL whitespace,
-    not F.trim's spaces-only)."""
+    """F2 — nougat_.py:250 (strip twin of ascii_strip: the explicit
+    ASCII_WS set, not F.trim's spaces-only and not Java \\s)."""
     return F.regexp_replace(
-        F.regexp_replace(c, BLANK_RUN_PATTERN, "\n\n"), r"^\s+|\s+$", ""
+        F.regexp_replace(c, BLANK_RUN_PATTERN, "\n\n"), STRIP_PATTERN, ""
     )
 
 
@@ -42,22 +54,24 @@ def abstract_or_empty(c: Column) -> Column:
 
 
 # P6 — header-line analogs of the PDF metadata fields (pymupdf.py:68-82);
-# same patterns as core.plain_extract.HEADER_RES, Java/RE2-rendered.
+# byte-identical twins of core.plain_extract.HEADER_RES (pinned
+# LINE_START + [^\n] form — Java (?m)^(.*)$ would capture differently
+# on CRLF payloads).
 HEADER_PATTERNS = {
-    "title": r"(?m)^Title:[ \t]*(.*)$",
-    "authors": r"(?m)^Authors?:[ \t]*(.*)$",
-    "creationdate": r"(?m)^(?:Creation-Date|Created|Date):[ \t]*(.*)$",
-    "keywords": r"(?m)^Keywords:[ \t]*(.*)$",
-    "producer": r"(?m)^Producer:[ \t]*(.*)$",
-    "subject": r"(?m)^Subject:[ \t]*(.*)$",
+    "title": rf"{LINE_START}Title:[ \t]*([^\n]*)",
+    "authors": rf"{LINE_START}Authors?:[ \t]*([^\n]*)",
+    "creationdate": rf"{LINE_START}(?:Creation-Date|Created|Date):[ \t]*([^\n]*)",
+    "keywords": rf"{LINE_START}Keywords:[ \t]*([^\n]*)",
+    "producer": rf"{LINE_START}Producer:[ \t]*([^\n]*)",
+    "subject": rf"{LINE_START}Subject:[ \t]*([^\n]*)",
 }
 
 
 def _strip(c: Column) -> Column:
-    """Python str.strip() twin: removes ALL leading/trailing
-    whitespace (F.trim strips only ASCII spaces — a tab-terminated
-    header value would diverge from the UDF path byte-for-byte)."""
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    """core.normalize.ascii_strip twin: strips the explicit ASCII_WS
+    set (F.trim strips only spaces; Java \\s would diverge from the
+    Python side on NBSP — see WS_CLASS)."""
+    return F.regexp_replace(c, STRIP_PATTERN, "")
 
 
 def project_meta9(payload: Column) -> list[Column]:
@@ -89,19 +103,20 @@ def project_meta9(payload: Column) -> list[Column]:
 
 def markdown_compatible_col(c: Column) -> Column:
     """F7 — nougat_.py:124,245-246 markdown repair, JVM-side twin of
-    core.normalize.markdown_compatible (same patterns, Java/RE2-safe;
-    whole-stage-codegen'd, so zero Python in the hot path)."""
-    c = F.regexp_replace(c, r"(?m)^(#{1,6})([^#\s])", "$1 $2")
+    core.normalize.markdown_compatible (identical pinned patterns —
+    see WS_CLASS/LINE_START; whole-stage-codegen'd, so zero Python in
+    the hot path)."""
+    c = F.regexp_replace(c, rf"{LINE_START}(#{{1,6}})([^#{WS_CLASS}])", "$1 $2")
     c = F.regexp_replace(
-        c, r"(?m)^\(([0-9][0-9.]*[A-Za-z]?)\) \\\[(.+)\\\]$",
+        c, rf"{LINE_START}\(([0-9][0-9.]*[A-Za-z]?)\) \\\[([^\n]+)\\\]{LINE_END}",
         "\\\\[$2 \\\\tag{$1}\\\\]",
     )
     c = F.regexp_replace(
-        c, r"(?m)^\\\[(.+)\\\] \(([0-9][0-9.]*[A-Za-z]?)\)$",
+        c, rf"{LINE_START}\\\[([^\n]+)\\\] \(([0-9][0-9.]*[A-Za-z]?)\){LINE_END}",
         "\\\\[$1 \\\\tag{$2}\\\\]",
     )
     c = F.replace(c, F.lit("\\bm{"), F.lit("\\mathbf{"))
     c = F.replace(c, F.lit("\\. "), F.lit(". "))
     return F.regexp_replace(
-        c, r"(?m)(^|\s)(https?://[^\s<>)\]\"']+)", "$1[$2]($2)"
+        c, rf"(^|[{WS_CLASS}])(https?://[^{WS_CLASS}<>)\]\"']+)", "$1[$2]($2)"
     )

@@ -35,6 +35,9 @@ def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
             # 'parser-parse' stage wall per bucket (timer.py:36-129
             # analog; the reference scrapes this from stdout logs)
             (F.sum("extract_us") / 1000).cast("long").alias("extract_ms"),
+            # 'initialize-parser' wall (timer.py:36-129): each worker
+            # reports its import+compile cost once, on its first row
+            (F.sum("init_us") / 1000).cast("long").alias("init_ms"),
         )
         .select(
             F.lit(run_id).alias("run_id"),
@@ -45,6 +48,7 @@ def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
             "bytes_in",
             "bytes_out",
             "extract_ms",
+            "init_ms",
             F.current_timestamp().alias("committed_at"),
         )
     )

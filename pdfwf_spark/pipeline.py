@@ -198,13 +198,14 @@ def run_extraction(
 
 
 # the only columns the commit path reads back after the staging write —
-# the lineage aggregate's inputs plus the bucket partition column
+# the lineage aggregate's narrow inputs plus the bucket partition column
 _READBACK_SCHEMA = T.StructType(
     [
         T.StructField("parse_status", T.StringType(), True),
         T.StructField("bytes_in", T.LongType(), True),
         T.StructField("bytes_out", T.LongType(), True),
         T.StructField("extract_us", T.LongType(), True),
+        T.StructField("init_us", T.LongType(), True),
         T.StructField("bucket", T.IntegerType(), True),
     ]
 )
@@ -213,7 +214,7 @@ _READBACK_SCHEMA = T.StructType(
 def lineage_from_written(spark: SparkSession, data_path: str, run_id: str) -> DataFrame:
     """Per-bucket lineage for one run, derived from the files the run
     just wrote: a partition-pruned (run_id=...) scan reading only the
-    five lineage-input columns — never a cached copy of the corpus."""
+    narrow lineage-input columns — never a cached copy of the corpus."""
     from pdfwf_spark.operators.lineage import read_or_empty
 
     written = read_or_empty(

@@ -48,6 +48,11 @@ EXTRACTED_SCHEMA = T.StructType(
         # first-class twin of the reference's 'parser-parse' timer tag
         # (timer.py:36-129)
         T.StructField("extract_us", T.LongType(), False),
+        # per-executor warm-start wall ('initialize-parser' analog,
+        # timer.py:36-129): the extractor-module import+compile cost,
+        # emitted once per python worker on its first output row,
+        # 0 everywhere else — summed per bucket into lineage init_ms
+        T.StructField("init_us", T.LongType(), False),
         T.StructField("bucket", T.IntegerType(), False),
         # md5 of the raw payload: deterministic total-order tiebreak for
         # (turn_idx, ts, role) ties — see operators/ordering.py.
@@ -70,6 +75,11 @@ LINEAGE_SCHEMA = T.StructType(
         # per-stage wall time (reference timer.py:36-129 'parser-parse'
         # tag); nullable so pre-v2 lineage files read as NULL
         T.StructField("extract_ms", T.LongType(), True),
+        # v3: 'initialize-parser' wall summed over the workers whose
+        # first batch fell in this bucket (timer.py:36-129 analog —
+        # the init cost the reference excludes from throughput);
+        # nullable so pre-v3 lineage files read as NULL
+        T.StructField("init_ms", T.LongType(), True),
         T.StructField("committed_at", T.TimestampType(), False),
     ]
 )

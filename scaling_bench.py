@@ -97,7 +97,14 @@ def main() -> None:
     # 4N run yields a physically implausible ratio (4x cores < 1.5x
     # throughput on a job that demonstrably scales).
     eff = statistics.median(effs)
-    eff_best = max(thr_large) / (4 * max(thr_small))
+    # diagnostics, never the gate:
+    # - best same-round ratio (numerator and denominator time-adjacent,
+    #   so host drift cancels — the honest "cleanest round" estimate);
+    # - cross-round best-window max(thr4N)/(4*max(thrN)), which can
+    #   pair observations from different host conditions and is
+    #   therefore only evidence, not a gate.
+    eff_best_round = max(effs)
+    eff_best_window = max(thr_large) / (4 * max(thr_small))
     result = {
         "metric": "scaling efficiency thr(4N)/(4*thr(N))",
         "n_cores": n,
@@ -109,9 +116,14 @@ def main() -> None:
         "thr_4n": round(thr_4n, 1),
         "eff_all": [round(e, 3) for e in effs],
         "efficiency": round(eff, 3),
-        "efficiency_best_window": round(eff_best, 3),
+        "efficiency_best_round": round(eff_best_round, 3),
+        "efficiency_best_window": round(eff_best_window, 3),
         "target": 0.8,
-        "pass": max(eff, eff_best) >= 0.8,
+        # THE gate is the per-round median — one declared primary
+        # estimator, so a single lucky 4N window can never mask a
+        # genuine scaling regression. The best-round/best-window
+        # numbers are reported for forensics on contaminated runs.
+        "pass": eff >= 0.8,
     }
     print(json.dumps(result))
 
@@ -123,10 +135,11 @@ def main() -> None:
             f"| {n} | {turns} | {thr_n:.1f} | {[round(t) for t in thr_small]} |\n"
             f"| {4*n} | {turns} | {thr_4n:.1f} | {[round(t) for t in thr_large]} |\n\n"
             f"Per-round efficiency: {[round(e, 3) for e in effs]}\n\n"
-            f"Efficiency (median of per-round thr(4N)/(4·thr(N))) = "
-            f"**{eff:.3f}**; best-window max(thr4N)/(4·max(thrN)) = "
-            f"**{eff_best:.3f}** (target ≥ 0.8 → "
-            f"{'PASS' if max(eff, eff_best) >= 0.8 else 'FAIL'})\n"
+            f"Efficiency (PRIMARY gate: median of per-round "
+            f"thr(4N)/(4·thr(N))) = **{eff:.3f}** (target ≥ 0.8 → "
+            f"{'PASS' if eff >= 0.8 else 'FAIL'}); diagnostics: "
+            f"best same-round = {eff_best_round:.3f}, cross-round "
+            f"best-window = {eff_best_window:.3f}\n"
         )
 
 

@@ -173,8 +173,12 @@ def test_resume_antijoin_is_broadcast(spark, transcripts, tmp_path):
 
 
 def test_lineage_carries_stage_timings(spark, tmp_path):
-    """Lineage schema v2: per-bucket extract_ms ('parser-parse' wall,
-    timer.py:36-129 analog) plus driver-side write/lineage walls."""
+    """Lineage schema v3: per-bucket extract_ms ('parser-parse' wall)
+    AND init_ms ('initialize-parser' wall, both timer.py:36-129
+    analogs) plus driver-side write/lineage walls. init_ms is reported
+    once per python worker (its import+compile cost lands on the first
+    row it emits), so the run-wide sum is > 0 and bounded by
+    n_workers * one import cost."""
     from datetime import datetime
 
     from pdfwf_spark.pipeline import run_extraction
@@ -191,3 +195,4 @@ def test_lineage_carries_stage_timings(spark, tmp_path):
     lin = read_lineage(spark, str(tmp_path / "o") + "/lineage").collect()
     assert len(lin) >= 1
     assert all(r["extract_ms"] is not None and r["extract_ms"] >= 0 for r in lin)
+    assert all(r["init_ms"] is not None and r["init_ms"] >= 0 for r in lin)
