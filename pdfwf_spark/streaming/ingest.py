@@ -63,7 +63,19 @@ def start_ingest(
     n_buckets: int = DEFAULT_BUCKETS,
     n_partitions: int | None = None,
     max_files_per_trigger: int = 16,
+    driver_cache: bool = True,
 ) -> StreamingQuery:
+    """driver_cache=True (default) keeps the committed run_ids and
+    per-conv max ranks in a driver-side dict, REBUILT from disk once
+    at query (re)start and updated incrementally per committed batch —
+    so steady-state per-batch work is proportional to the batch (one
+    distinct-conv collect + a broadcast of that batch's offsets), not
+    to total history (the lineage/rank_state dirs grow one file per
+    epoch; re-listing+scanning them per batch is O(total epochs)).
+    Driver memory is one (conv_id, int) pair per conv EVER TOUCHED;
+    for conv cardinalities beyond driver RAM pass driver_cache=False
+    to keep the fully distributed per-batch joins (plus periodic
+    rank_state compaction, which that path then wants)."""
     from pdfwf_spark.operators.extract import extract_turns, successes
     from pdfwf_spark.operators.lineage import lineage_rows, read_lineage
     from pdfwf_spark.operators.ordering import sort_for_extraction, with_turn_rank
@@ -77,6 +89,34 @@ def start_ingest(
     )
 
     parts = n_partitions or spark.sparkContext.defaultParallelism
+    # committed-state cache; 'ready' flips False on any failed batch so
+    # the next attempt rebuilds from disk (disk is the source of truth,
+    # the cache only ever mirrors fully committed epochs)
+    cache: dict = {"ready": False, "run_ids": set(), "prior": {}}
+
+    def _rebuild_cache() -> None:
+        from pdfwf_spark.operators.lineage import read_or_empty
+
+        lineage = read_lineage(spark, f"{out_dir}/lineage")
+        run_ids = {
+            r["run_id"] for r in lineage.select("run_id").distinct().collect()
+        }
+        prior: dict[str, int] = {}
+        if run_ids:
+            rank_state = read_or_empty(
+                spark, f"{out_dir}/rank_state", RANK_STATE_SCHEMA
+            )
+            committed = spark.createDataFrame(
+                [(i,) for i in sorted(run_ids)], "run_id string"
+            )
+            rows = (
+                rank_state.join(F.broadcast(committed), "run_id", "left_semi")
+                .groupBy("conv_id")
+                .agg(F.max("max_rank").alias("m"))
+                .collect()
+            )
+            prior = {r["conv_id"]: r["m"] for r in rows}
+        cache.update(ready=True, run_ids=run_ids, prior=prior)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         import uuid
@@ -84,16 +124,23 @@ def start_ingest(
         from pdfwf_spark.operators.lineage import read_or_empty
 
         epoch_tag = f"{run_id_prefix}-{epoch_id}-"
-        lineage = read_lineage(spark, f"{out_dir}/lineage")
-        if (
-            lineage.filter(F.col("run_id").startswith(epoch_tag)).limit(1).count()
-            > 0
-        ):
-            return  # replayed epoch: already committed -> idempotent no-op
+        if driver_cache:
+            if not cache["ready"]:
+                _rebuild_cache()
+            if any(r.startswith(epoch_tag) for r in cache["run_ids"]):
+                return  # replayed epoch: already committed -> no-op
+            has_committed = bool(cache["run_ids"])
+        else:
+            lineage = read_lineage(spark, f"{out_dir}/lineage")
+            if (
+                lineage.filter(F.col("run_id").startswith(epoch_tag))
+                .limit(1).count() > 0
+            ):
+                return
+            has_committed = lineage.limit(1).count() > 0
         # fresh run_id per ATTEMPT: a crash between the data append and
         # the lineage commit leaves orphans under a never-committed id
         run_id = epoch_tag + uuid.uuid4().hex[:8]
-        has_committed = lineage.limit(1).count() > 0
 
         staged = sort_for_extraction(
             salted_repartition(with_bucket(batch_df, n_buckets), parts)
@@ -106,11 +153,36 @@ def start_ingest(
             # counting failed turns so the next epoch's offset does not
             # drift from a batch run over the union
             all_ranked = with_turn_rank(extracted)
-            if has_committed:
-                # continue each conv's rank sequence from the COMPACT
-                # rank-state table (one row per touched (run_id, conv)),
-                # restricted to committed run_ids — never a scan of the
-                # full output history
+            if has_committed and driver_cache:
+                # offsets for ONLY the convs present in this batch: a
+                # bounded collect of batch conv ids, dict lookups, and
+                # a broadcast-joined literal frame — O(batch convs)
+                batch_convs = [
+                    r["conv_id"]
+                    for r in batch_df.select("conv_id").distinct().collect()
+                ]
+                pairs = [
+                    (c, cache["prior"][c])
+                    for c in batch_convs
+                    if c in cache["prior"]
+                ]
+                if pairs:
+                    prior = spark.createDataFrame(
+                        pairs, "conv_id string, _prior_max int"
+                    )
+                    all_ranked = (
+                        all_ranked.join(F.broadcast(prior), "conv_id", "left")
+                        .withColumn(
+                            "turn_rank",
+                            F.col("turn_rank")
+                            + F.coalesce(F.col("_prior_max"), F.lit(0)),
+                        )
+                        .drop("_prior_max")
+                    )
+            elif has_committed:
+                # distributed path: the rank-state table (one row per
+                # touched (run_id, conv)), restricted to committed
+                # run_ids — never a scan of the full output history
                 rank_state = read_or_empty(
                     spark, f"{out_dir}/rank_state", RANK_STATE_SCHEMA
                 )
@@ -135,15 +207,36 @@ def start_ingest(
             # state rows exist; orphan state rows from a crashed
             # attempt are excluded by the committed-run_id semi-join.
             # Max over ALL statuses — failed turns hold their ranks.
-            (
+            # Collected once (bounded by this batch's conv count) so the
+            # same rows feed the state write AND the cache update.
+            state_rows = (
                 all_ranked.groupBy("conv_id")
                 .agg(F.max("turn_rank").alias("max_rank"))
-                .select(F.lit(run_id).alias("run_id"), "conv_id", "max_rank")
-                .write.mode("append")
-                .parquet(f"{out_dir}/rank_state")
+                .collect()
             )
+            if state_rows:
+                (
+                    spark.createDataFrame(
+                        [(run_id, r["conv_id"], r["max_rank"]) for r in state_rows],
+                        RANK_STATE_SCHEMA,
+                    )
+                    .write.mode("append")
+                    .parquet(f"{out_dir}/rank_state")
+                )
             # lineage append LAST: its presence marks the epoch committed
             append_lineage(lineage_rows(extracted, run_id), f"{out_dir}/lineage")
+            if driver_cache:
+                # update the cache ONLY after the lineage commit: a
+                # crash above leaves the cache untouched (and the
+                # except-path below forces a rebuild anyway)
+                cache["run_ids"].add(run_id)
+                for r in state_rows:
+                    cache["prior"][r["conv_id"]] = max(
+                        r["max_rank"], cache["prior"].get(r["conv_id"], 0)
+                    )
+        except BaseException:
+            cache["ready"] = False  # force rebuild-from-disk next batch
+            raise
         finally:
             # both unpersists in finally: a throw in any append must not
             # leak executor cache for the life of the streaming query

@@ -117,7 +117,7 @@ def test_stream_replayed_epoch_is_noop(spark, tmp_path):
     # are per-ATTEMPT: '{prefix}-{epoch}-{uuid8}'; the skip matches on
     # the '{prefix}-{epoch}-' tag)
     pre = spark.createDataFrame(
-        [("stream-0-dead1234", 0, 1, 1, 0, 10, 10, 5, datetime(2025, 1, 1))],
+        [("stream-0-dead1234", 0, 1, 1, 0, 10, 10, 5, 0, datetime(2025, 1, 1))],
         LINEAGE_SCHEMA,
     )
     pre.write.parquet(out + "/lineage")
@@ -247,3 +247,81 @@ def test_stream_rank_offset_counts_failed_turns(spark, tmp_path):
            for r in read_output(spark, out).filter("conv_id='conv-f'").collect()}
     # failed turn 1 holds rank 2; committed output is turns 0 and 2
     assert got == {0: 1, 2: 3}
+
+
+def test_stream_rank_continuation_distributed_path(spark, tmp_path):
+    """driver_cache=False keeps the fully distributed per-batch offset
+    joins; rank continuation must be identical to the cached path."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import time as _time
+    from datetime import datetime
+
+    src = str(tmp_path / "srcd")
+    os.makedirs(src)
+    base = datetime(2025, 1, 1)
+    now = _time.time()
+    for name, turns, mtime in (("a", [0, 1], now), ("b", [2, 3], now + 10)):
+        staging = str(tmp_path / f"staged_{name}")
+        rows = [("conv-d", t, "user", f"turn body {t} words", "", base)
+                for t in turns]
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(staging)
+        part = _glob.glob(staging + "/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        _shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    out = str(tmp_path / "outd")
+    q = start_ingest(spark, src, out, str(tmp_path / "ckptd"),
+                     n_buckets=8, n_partitions=4, max_files_per_trigger=1,
+                     driver_cache=False)
+    q.processAllAvailable()
+    q.stop()
+
+    from pdfwf_spark.pipeline import read_output
+
+    got = sorted((r["turn_idx"], r["turn_rank"])
+                 for r in read_output(spark, out).collect())
+    assert got == [(t, t + 1) for t in range(4)]
+
+
+def test_stream_cache_rebuilds_across_query_restarts(spark, tmp_path):
+    """Restarting the query (fresh driver cache) must continue rank
+    sequences from the on-disk committed state, not reset them."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    from datetime import datetime
+
+    src = str(tmp_path / "srcr")
+    os.makedirs(src)
+    base = datetime(2025, 1, 1)
+
+    def add_file(name, turns):
+        staging = str(tmp_path / f"stager_{name}")
+        rows = [("conv-r", t, "user", f"turn body {t} words", "", base)
+                for t in turns]
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(staging)
+        part = _glob.glob(staging + "/part-*.parquet")[0]
+        _shutil.copy(part, f"{src}/{name}.parquet")
+
+    out = str(tmp_path / "outr")
+    ckpt = str(tmp_path / "ckptr")
+
+    add_file("first", [0, 1, 2])
+    q1 = start_ingest(spark, src, out, ckpt, n_buckets=8, n_partitions=4)
+    q1.processAllAvailable()
+    q1.stop()
+
+    # second query instance: brand-new closure, cache must rebuild
+    add_file("second", [3, 4])
+    q2 = start_ingest(spark, src, out, ckpt, n_buckets=8, n_partitions=4)
+    q2.processAllAvailable()
+    q2.stop()
+
+    from pdfwf_spark.pipeline import read_output
+
+    got = sorted((r["turn_idx"], r["turn_rank"])
+                 for r in read_output(spark, out).collect())
+    assert got == [(t, t + 1) for t in range(5)]
