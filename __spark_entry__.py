@@ -680,6 +680,76 @@ def _q_mm_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake=False)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS (connected components over LSH-verified
+    near-dup pairs) + keeper per cluster — the step between candidate
+    pairs and actually dropping duplicates. Min-label propagation,
+    O(component diameter) rounds; oracle is a DuckDB recursive CTE
+    computing min-reachable-id over the same verified-pairs edges."""
+    from pdfwf_spark.operators.dedup import dup_clusters, lsh_verified_neardups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_verified_neardups(docs, threshold=0.01)
+    return dup_clusters(docs, pairs)
+
+
+def _q_contam_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: per-doc 3-gram overlap against a
+    deterministic benchmark subset (doc_id % 97 == 13), benchmark
+    vocabulary broadcast so the corpus side never shuffles. (3-grams,
+    not the production 13-grams: the synthetic corpus draws from a
+    ~30-word vocabulary, where 5-gram collisions are already
+    vanishingly rare — n=3 gives the oracle a non-trivial overlap
+    distribution to verify.)"""
+    from pdfwf_spark.operators.dedup import benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 13)
+    corpus = docs.filter(F.col("doc_id") % 97 != 13)
+    return benchmark_contamination(corpus, bench, shingle_n=3)
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-line / dup-line-char /
+    top-2-gram fractions). The corpus is single-line word soup, so a
+    deterministic multi-line variant is derived first (every space
+    becomes a newline — repeated words become repeated lines) so the
+    dup-line/dup-char stats have a non-trivial distribution."""
+    from pdfwf_spark.operators.textstats import with_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " ", "\n").alias("text"),
+    )
+    return with_repetition_stats(docs)
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (email / IPv4 / phone -> typed placeholders with
+    per-category counts). The corpus has no PII, so a deterministic
+    contact block is appended per doc — built with the identical
+    expression in the DuckDB oracle — making every rule fire."""
+    from pdfwf_spark.operators.textstats import with_pii_redacted
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ip 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call +1 (555) 123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return with_pii_redacted(docs).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "redacted_text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_turn_ordering": _q_w1_turn_ordering,
@@ -714,6 +784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_lsh_verified": _q_dedup_lsh_verified,
+        "dedup_clusters": _q_dedup_clusters,
+        "contam_benchmark": _q_contam_benchmark,
+        "text_repetition": _q_text_repetition,
+        "pii_redact": _q_pii_redact,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_neardup_exact": _q_emb_neardup_exact,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
@@ -742,6 +816,7 @@ from pdfwf_spark.operators.dedup import (          # noqa: E402
     DEFAULT_MAX_BUCKET as _MAX_BUCKET,
     DEFAULT_MAX_SHINGLE_DF as _MAX_SHINGLE_DF,
 )
+from pdfwf_spark.operators.textstats import PII_RULES as _PII  # noqa: E402
 
 _SHINGLES = (
     "SELECT doc_id, sh FROM ("
@@ -1158,6 +1233,119 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts ca ON ca.doc_id = id_a
             JOIN counts cb ON cb.doc_id = id_b
             WHERE CAST(ROUND(1000.0 * inter / (ca.n_sh + cb.n_sh - inter)) AS INT) >= 10
+        """,
+        # connected components over the SAME verified-pairs edge set:
+        # recursive CTE computes min-reachable-id per doc (UNION, not
+        # UNION ALL -> set semantics -> guaranteed termination)
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            sigs AS ({_MINHASH_SIG_SQL}),
+            bands0 AS (
+              SELECT doc_id, 0 AS band,
+                     md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS bucket FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs),
+            bands AS (SELECT * FROM bands0
+                      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket)
+                              <= {_MAX_BUCKET}),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            sh AS ({_SHINGLES}),
+            counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS inter
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+              GROUP BY c.id_a, c.id_b),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN counts ca ON ca.doc_id = id_a
+              JOIN counts cb ON cb.doc_id = id_b
+              WHERE CAST(ROUND(1000.0 * inter / (ca.n_sh + cb.n_sh - inter)) AS INT) >= 10),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.b, reach.r FROM edges e JOIN reach ON reach.id = e.a)
+            SELECT id AS doc_id, MIN(r) AS cluster_id,
+                   CAST(CASE WHEN MIN(r) = id THEN 1 ELSE 0 END AS INT) AS is_keeper
+            FROM reach GROUP BY id
+        """,
+        "contam_benchmark": f"""
+            WITH sh5 AS ({_SHINGLES}),
+            bench AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % 97 = 13),
+            corp AS (SELECT * FROM sh5 WHERE doc_id % 97 <> 13),
+            counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM corp GROUP BY doc_id),
+            hits AS (SELECT c.doc_id, COUNT(*) AS n_contam
+                     FROM corp c JOIN bench b ON b.sh = c.sh GROUP BY c.doc_id)
+            SELECT h.doc_id, counts.n_sh, h.n_contam,
+                   CAST(ROUND(1000.0 * h.n_contam / counts.n_sh) AS INT) AS contam_milli
+            FROM hits h JOIN counts USING (doc_id)
+        """,
+        "text_repetition": f"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     regexp_replace(text, ' ', chr(10), 'g') AS text
+              FROM documents),
+            ls_t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+              FROM docs2),
+            per_row AS (
+              SELECT doc_id,
+                     CAST(len(ls) AS INT) AS n_lines,
+                     CAST(ROUND(1000.0 * (len(ls) - len(list_distinct(ls)))
+                          / greatest(len(ls), 1)) AS INT) AS dup_line_milli,
+                     CAST(ROUND(1000.0 *
+                          (COALESCE(list_sum(list_transform(ls, x -> length(x))), 0)
+                           - COALESCE(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0))
+                          / greatest(COALESCE(list_sum(list_transform(ls, x -> length(x))), 0), 1))
+                          AS INT) AS dup_char_milli
+              FROM ls_t),
+            toks AS (SELECT doc_id, {_TOKS} AS t FROM docs2),
+            grams AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])) AS g
+              FROM toks WHERE len(t) >= 2),
+            gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+            top AS (SELECT doc_id,
+                           CAST(ROUND(1000.0 * MAX(c) / SUM(c)) AS INT) AS top2gram_milli
+                    FROM gc GROUP BY doc_id)
+            SELECT p.doc_id, p.n_lines, p.dup_line_milli, p.dup_char_milli,
+                   COALESCE(t.top2gram_milli, 0) AS top2gram_milli
+            FROM per_row p LEFT JOIN top t USING (doc_id)
+        """,
+        "pii_redact": f"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR
+                          || '@mail.example.com ip 10.'
+                          || (doc_id % 200)::VARCHAR || '.0.'
+                          || (doc_id % 250)::VARCHAR
+                          || ' call +1 (555) 123-'
+                          || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                          CAST(len(regexp_extract_all(text, '{_PII[0][1]}')) AS INT) AS n_email,
+                          regexp_replace(text, '{_PII[0][1]}', '<EMAIL>', 'g') AS t1
+                   FROM docs2),
+            s2 AS (SELECT doc_id, n_email,
+                          CAST(len(regexp_extract_all(t1, '{_PII[1][1]}')) AS INT) AS n_ip,
+                          regexp_replace(t1, '{_PII[1][1]}', '<IP>', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_ip,
+                          CAST(len(regexp_extract_all(t2, '{_PII[2][1]}')) AS INT) AS n_phone,
+                          regexp_replace(t2, '{_PII[2][1]}', '<PHONE>', 'g') AS redacted_text
+                   FROM s2)
+            SELECT doc_id, n_email, n_ip, n_phone, redacted_text FROM s3
         """,
         "emb_cosine_topk": """
             WITH v AS (

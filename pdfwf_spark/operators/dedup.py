@@ -490,3 +490,129 @@ def lsh_verified_neardups(
         .filter(F.col("jaccard_milli") >= int(threshold * 1000))
         .select("id_a", "id_b", "jaccard_milli")
     )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: each doc gets the
+    MINIMUM id reachable through the pair graph as its cluster_id,
+    plus is_keeper = 1 for the cluster representative.
+
+    This is the step real dedup pipelines need between "candidate
+    pairs" and "drop the duplicates": verified pairs form a graph
+    whose components are the duplicate clusters, and exactly one doc
+    per component survives. Pairwise keeper picks (keep min(id_a,
+    id_b) per pair) over-delete on chains: with pairs (1,2) and (2,3),
+    doc 3 must survive only if 1-3 are truly in one cluster — the
+    component, not the pair, is the dedup unit.
+
+    Algorithm: min-label propagation (hash-to-min). labels start as
+    own id; each round every node takes the min of its own label and
+    its neighbors' labels (one equi-join edges->labels + one min
+    groupBy per round — both combine map-side). Converges in
+    O(component diameter) rounds; near-dup components are
+    star/clique-shaped (everything overlaps the same content), so 2-4
+    rounds is typical. For adversarial long-chain graphs at cluster
+    scale, the alternating large-star/small-star variant (Kiveris et
+    al., MapReduce and Beyond) converges in O(log n) rounds with the
+    same per-round shape; diameter-bounded propagation is the right
+    default for dedup graphs.
+
+    Convergence detection without a join: labels only ever DECREASE
+    (new = least(old, neighbor-min)), so sum(labels) strictly
+    decreases iff any label changed — one cheap 1-row aggregate per
+    round. Each round is localCheckpoint()ed: iterative plans
+    otherwise double in depth per round (on a real cluster use a
+    reliable checkpoint dir; localCheckpoint trades executor-loss
+    recovery for zero-HDFS-dependence, the right trade in local mode).
+
+    Output: (doc_id, cluster_id, is_keeper int). Docs with no pairs
+    are singleton keepers.
+    """
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = fwd.union(rev)
+
+    labels = docs.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("lbl")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds — "
+            "pathological chain graph; raise max_iters or switch to "
+            "large-star/small-star"
+        )
+
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("lbl") == F.col("id")).cast("int").alias("is_keeper"),
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Train/test contamination check: for every corpus doc, how many
+    of its word n-gram shingles also appear in a benchmark set.
+
+    The standard decontamination pass for LLM training corpora
+    (n-gram overlap against eval sets). Shape at 100 TB: the benchmark
+    side is tiny (eval sets are thousands of docs), so its DISTINCT
+    shingle vocabulary is broadcast and the corpus side never
+    shuffles — scan -> explode -> broadcast-hash semi-join ->
+    per-doc count, all map-side until the final doc-keyed aggregate.
+
+    Output: (doc_id, n_sh, n_contam, contam_milli) for corpus docs
+    with at least one overlapping shingle. contam_milli = per-mille
+    fraction of the doc's distinct shingles found in the benchmark.
+    """
+    bench_sh = exploded_shingles(
+        bench_docs, text_col, id_col, shingle_n
+    ).select("sh").distinct()
+    sh = exploded_shingles(docs, text_col, id_col, shingle_n)
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    return (
+        hits.join(counts, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_sh",
+            "n_contam",
+            F.round(1000 * F.col("n_contam") / F.col("n_sh")).cast("int").alias(
+                "contam_milli"
+            ),
+        )
+    )

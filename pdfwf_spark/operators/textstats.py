@@ -141,3 +141,110 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     fp = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: (acc + x) % FP_MOD)
     return docs.withColumn("fingerprint", fp)
+
+
+def with_repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    the standard web-corpus repetition filters):
+
+    - dup_line_milli:  per-mille fraction of non-empty lines that are
+      repeats of an earlier line
+    - dup_char_milli:  per-mille fraction of line characters inside
+      those repeated occurrences
+    - top2gram_milli:  per-mille fraction of the doc's word 2-grams
+      taken by its single most frequent 2-gram
+
+    Line stats are pure per-row array expressions (codegen, zero
+    shuffle). The top-2-gram stat needs the per-doc mode of a
+    multiset, which no per-row built-in expresses at bounded cost —
+    it is the classic explode -> (id, gram) count -> per-id max/sum,
+    two doc-keyed HashAggregates that combine map-side; at 100 TB it
+    is one shuffle of (id, gram, count) partials, never of raw text.
+    """
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    n_lines = F.size(lines)
+    distinct_lines = F.array_distinct(lines)
+    n_dup_lines = n_lines - F.size(distinct_lines)
+    chars_of = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    line_chars = chars_of(lines)
+    dup_chars = line_chars - chars_of(distinct_lines)
+    safe_lines = F.greatest(n_lines, F.lit(1))
+    safe_chars = F.greatest(line_chars, F.lit(1))
+
+    per_row = repartition_for_scan(docs).select(
+        F.col("doc_id"),
+        F.col(text_col),
+        n_lines.alias("n_lines"),
+        F.round(1000 * n_dup_lines / safe_lines).cast("int").alias("dup_line_milli"),
+        F.round(1000 * dup_chars / safe_chars).cast("int").alias("dup_char_milli"),
+    )
+
+    # word 2-grams as a MULTISET (word_shingles dedups, so inline)
+    t = tokens(F.col(text_col))
+    n_g = F.size(t) - 1
+    grams = F.when(
+        n_g > 0,
+        F.zip_with(
+            F.slice(t, 1, F.greatest(n_g, F.lit(0))),
+            F.slice(t, 2, F.greatest(n_g, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_counts = (
+        per_row.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = gram_counts.groupBy("doc_id").agg(
+        F.round(1000 * F.max("c") / F.sum("c")).cast("int").alias("top2gram_milli")
+    )
+    return (
+        per_row.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_milli",
+            "dup_char_milli",
+            F.coalesce("top2gram_milli", F.lit(0)).alias("top2gram_milli"),
+        )
+    )
+
+
+#: (name, pattern, replacement) — patterns restricted to the syntax
+#: subset with identical semantics in Java regex (Spark) and RE2
+#: (DuckDB oracle): no lookaround, no backreferences, ASCII classes,
+#: \b word boundaries. Applied IN ORDER, counts taken on the text as
+#: it stands before that step (emails are redacted before the IP rule
+#: can see digit runs in their domains).
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # country code must carry digits when present — a bare leading
+    # "[-. ]?" would let the match swallow the space BEFORE the number
+    ("phone", r"(\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+)
+
+
+def with_pii_redacted(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub for training corpora: replace emails, IPv4 addresses
+    and phone numbers with typed placeholder tokens, recording a
+    per-doc count per category.
+
+    Pure regexp_replace/regexp_count chain — JVM codegen end to end,
+    no shuffle, scan-side at any scale. Counts are taken sequentially
+    (each category counted on the text AFTER the previous categories
+    were redacted) so no span is double-counted across categories.
+
+    Output: original columns + n_email, n_ip, n_phone,
+    redacted_<text_col>.
+    """
+    cur = F.col(text_col)
+    out = docs
+    for name, pat, repl in PII_RULES:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.withColumn(f"redacted_{text_col}", cur)

@@ -338,3 +338,105 @@ def test_ivf_rejects_non_zero_based_ids(spark):
     )
     with _pytest.raises(ValueError, match="centroids"):
         ivf_assign(emb, n_centroids=8)
+
+
+def test_dup_clusters_chain_converges(spark):
+    """A 6-node chain (0-1, 1-2, ..., 4-5) requires multiple
+    propagation rounds: every node must land in cluster 0 with node 0
+    as the only keeper. Singleton node 9 keeps itself."""
+    from pdfwf_spark.operators.dedup import dup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 4, 5, 9]],
+                                  "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(5)],
+                                  "id_a long, id_b long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+           for r in dup_clusters(nodes, pairs).collect()}
+    for i in range(6):
+        assert out[i] == (0, 1 if i == 0 else 0)
+    assert out[9] == (9, 1)
+
+
+def test_dup_clusters_two_components_and_empty_pairs(spark):
+    from pdfwf_spark.operators.dedup import dup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 4), (2, 5)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(nodes, pairs).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 2}
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out2 = dup_clusters(nodes, empty).collect()
+    assert all(r["is_keeper"] == 1 and r["cluster_id"] == r["doc_id"] for r in out2)
+
+
+def test_dup_clusters_non_convergence_raises(spark):
+    from pdfwf_spark.operators.dedup import dup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(7)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(nodes, pairs, max_iters=2)
+
+
+def test_benchmark_contamination(spark):
+    """Doc sharing a 3-gram window with the benchmark doc is flagged
+    with the right overlap fraction; a disjoint doc produces no row."""
+    from pdfwf_spark.operators.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma epsilon"),      # shares 'alpha beta gamma'
+         (2, "zeta eta theta iota kappa")],    # disjoint
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            benchmark_contamination(corpus, bench, shingle_n=3).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_sh"] == 2 and rows[1]["n_contam"] == 1
+    assert rows[1]["contam_milli"] == 500
+
+
+def test_repetition_stats(spark):
+    from pdfwf_spark.operators.textstats import with_repetition_stats
+
+    rows = [
+        (0, "aaa\nbbb\naaa\nccc"),            # 1 of 4 lines repeated
+        (1, "x y x y x y x y"),               # dominant 2-gram 'x y'
+        (2, "unique lines\nonly here"),
+        (3, ""),                              # degenerate: no lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert out[0]["n_lines"] == 4
+    assert out[0]["dup_line_milli"] == 250          # 1/4
+    assert out[0]["dup_char_milli"] == 250          # 3 of 12 chars
+    # 'x y x y x y x y': 7 bigrams, 'x y' x4 -> round(4000/7) = 571
+    assert out[1]["top2gram_milli"] == 571
+    assert out[2]["dup_line_milli"] == 0
+    assert out[3]["n_lines"] == 0 and out[3]["dup_line_milli"] == 0
+    assert out[3]["top2gram_milli"] == 0
+
+
+def test_pii_redaction(spark):
+    from pdfwf_spark.operators.textstats import with_pii_redacted
+
+    rows = [
+        (0, "mail a.user+tag@sub.example.org now"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 up"),
+        (2, "call +1 (555) 123-4567 or 555-987-6543 today"),
+        (3, "clean text with no pii at all"),
+        (4, "mixed bob@x.io from 8.8.8.8 phone 555-111-2222"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_pii_redacted(df).collect()}
+    assert out[0]["n_email"] == 1
+    assert out[0]["redacted_text"] == "mail <EMAIL> now"
+    assert out[1]["n_ip"] == 2
+    assert out[1]["redacted_text"] == "server at <IP> and <IP> up"
+    assert out[2]["n_phone"] == 2
+    assert out[2]["redacted_text"] == "call <PHONE> or <PHONE> today"
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
+    assert out[3]["redacted_text"] == out[3]["text"]
+    assert out[4]["redacted_text"] == "mixed <EMAIL> from <IP> phone <PHONE>"
