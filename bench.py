@@ -56,6 +56,10 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "dedup_lsh_pairs",
     "dedup_lsh_verified",
+    "dedup_clusters",
+    "contam_benchmark",
+    "text_repetition",
+    "pii_redact",
     "emb_cosine_topk",
     "emb_neardup_lsh",
     "emb_ivf_topk",

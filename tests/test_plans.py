@@ -155,3 +155,47 @@ def test_commit_readback_pruned_no_cache(spark, transcripts, tmp_path):
     # scan location is the single run's partition directory
     files = lin.inputFiles()
     assert files and all(f"run_id={res.run_id}" in f for f in files)
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The eval-set shingle vocabulary must reach the corpus join as
+    a BroadcastHashJoin (the corpus side never shuffles on sh); no
+    cartesian product anywhere."""
+    from pdfwf_spark.operators.dedup import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma tok{i + 1} delta") for i in range(30)],
+        "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    plan = _plan(benchmark_contamination(corpus, bench, shingle_n=3))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_pii_redaction_is_scan_side(spark):
+    """The PII scrub is a pure projection: zero exchanges, one
+    whole-stage-codegen span over the scan."""
+    from pdfwf_spark.operators.textstats import with_pii_redacted
+
+    docs = spark.createDataFrame(
+        [(1, "mail bob@x.io now")], "doc_id long, text string")
+    plan = _plan(with_pii_redacted(docs))
+    assert plan.count("Exchange") == 0, plan
+
+
+def test_repetition_line_stats_need_no_shuffle(spark):
+    """Only the top-2-gram mode may shuffle (two doc-keyed
+    HashAggregates with partial combine + the join back); the line
+    stats themselves are per-row. Guard: no more than the 3 expected
+    exchanges, and the gram aggregate must be a partial-combining
+    HashAggregate, never a sort-based fallback."""
+    from pdfwf_spark.operators.textstats import with_repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x\ny\nx")], "doc_id long, text string")
+    plan = _plan(with_repetition_stats(docs))
+    assert "HashAggregate" in plan, plan
+    assert "ObjectHashAggregate" not in plan and "SortAggregate" not in plan, plan
+    n_ex = plan.count("Exchange ") + plan.count("Exchange\n")
+    assert n_ex <= 4, plan
