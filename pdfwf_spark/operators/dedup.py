@@ -616,3 +616,105 @@ def benchmark_contamination(
             ),
         )
     )
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Both directions of an undirected edge list (u, v)."""
+    return edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _edges_checksum(edges: DataFrame) -> tuple:
+    """Cheap fixpoint detector: (count, sum(xxhash64(u,v))). Collision
+    masking a change needs a 64-bit hash-sum coincidence on top of an
+    identical edge count — not a realistic failure mode, and the
+    algorithm's max_iters backstop still catches it."""
+    row = edges.agg(
+        F.count(F.lit(1)),
+        # decimal(38,0) sum: a plain long sum of 64-bit hashes
+        # overflows under ANSI mode
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+    ).collect()[0]
+    return (row[0], row[1])
+
+
+def dup_clusters_star(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 40,
+) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — the adversarial-graph scale
+    path next to dup_clusters' O(diameter) label propagation.
+
+    Same output contract as dup_clusters: (doc_id, cluster_id =
+    component-min id, is_keeper). Use this variant when components
+    may be long chains (entity-resolution-style graphs); for near-dup
+    clusters (star/clique-shaped) plain propagation does fewer
+    shuffles per round and wins.
+
+    One round here = large-star + small-star, each: symmetric
+    adjacency -> per-node min (map-side-combining HashAggregate) ->
+    join back -> re-emit edges -> distinct. Edges only ever move
+    toward smaller ids; fixpoint (star graphs, every node pointing at
+    its component min) is detected by an edge-set checksum, one 1-row
+    action per half-round.
+    """
+    edges = (
+        pairs.select(F.col("id_a").cast("long").alias("u"),
+                     F.col("id_b").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _edges_checksum(edges)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        adj = _symmetric(e)
+        mins = adj.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        return (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # after large_star every edge is (big, small); group by the
+        # big endpoint: m = min neighbor, relink all its small
+        # neighbors and itself to m
+        mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+        relink = (
+            e.join(mins, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        self_link = mins.select("u", F.col("mn").alias("v"))
+        return relink.union(self_link).filter(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_iters):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        cur = _edges_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"dup_clusters_star did not converge in {max_iters} rounds"
+        )
+
+    roots = edges.select(F.col("u").alias("id"), F.col("v").alias("lbl"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(roots, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("lbl"), F.col("id").cast("long")).alias("cluster_id"),
+            (F.coalesce(F.col("lbl"), F.col("id").cast("long")) == F.col("id"))
+            .cast("int").alias("is_keeper"),
+        )
+    )

@@ -440,3 +440,59 @@ def test_pii_redaction(spark):
     assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
     assert out[3]["redacted_text"] == out[3]["text"]
     assert out[4]["redacted_text"] == "mixed <EMAIL> from <IP> phone <PHONE>"
+
+
+def _union_find_clusters(n_nodes, pairs):
+    """Pure-Python reference: min-id-per-component via union-find."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_dup_clusters_star_matches_union_find_and_labelprop(spark):
+    """Both distributed variants must agree with a sequential
+    union-find on seeded random graphs of several shapes (sparse,
+    denser, chain-heavy)."""
+    import random
+
+    from pdfwf_spark.operators.dedup import dup_clusters, dup_clusters_star
+
+    for seed, n, m in [(1, 40, 20), (2, 40, 60), (3, 30, 15)]:
+        rng = random.Random(seed)
+        raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        raw = [(a, b) for a, b in raw if a != b]
+        expected = _union_find_clusters(n, raw)
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(raw, "id_a long, id_b long")
+        star = {r["doc_id"]: r["cluster_id"]
+                for r in dup_clusters_star(nodes, pairs).collect()}
+        prop = {r["doc_id"]: r["cluster_id"]
+                for r in dup_clusters(nodes, pairs).collect()}
+        assert star == expected, f"star mismatch seed={seed}"
+        assert prop == expected, f"labelprop mismatch seed={seed}"
+
+
+def test_dup_clusters_star_long_chain(spark):
+    """A 33-node chain: the star variant must converge well inside
+    its round budget (O(log n) vs the chain diameter of 32) and name
+    node 0 the single keeper."""
+    from pdfwf_spark.operators.dedup import dup_clusters_star
+
+    n = 33
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    out = dup_clusters_star(nodes, pairs, max_iters=12).collect()
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sum(r["is_keeper"] for r in out) == 1
