@@ -693,6 +693,49 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs, pairs)
 
 
+def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component semantics as dedup_clusters, computed by the
+    O(log n)-round large-star/small-star alternation instead of
+    O(diameter) label propagation — both variants must reproduce the
+    identical recursive-CTE oracle."""
+    from pdfwf_spark.operators.dedup import dup_clusters_star, lsh_verified_neardups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_verified_neardups(docs, threshold=0.01)
+    return dup_clusters_star(docs, pairs)
+
+
+def _q_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE modern curation pipeline in one plan: near-dup
+    CLUSTER keepers (not just exact dedup) -> Gopher repetition floor
+    -> PII scrub -> quality/language floor. What a production
+    training-data job actually chains; every stage is individually
+    oracled, and this composition is too."""
+    from pdfwf_spark.operators.dedup import dup_clusters, lsh_verified_neardups
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+    from pdfwf_spark.operators.textstats import (
+        with_lang_id,
+        with_pii_redacted,
+        with_quality_score,
+        with_repetition_stats,
+    )
+
+    docs = repartition_for_scan(_t(spark, sf_dir, "documents"))
+    pairs = lsh_verified_neardups(docs, threshold=0.01)
+    keepers = dup_clusters(docs, pairs).filter(F.col("is_keeper") == 1).select("doc_id")
+    kept = docs.join(keepers, "doc_id", "left_semi")
+
+    rep = with_repetition_stats(
+        kept.select("doc_id", F.regexp_replace(F.col("text"), " ", "\n").alias("text"))
+    ).filter(F.col("top2gram_milli") <= 150).select("doc_id")
+    kept = kept.join(rep, "doc_id", "left_semi")
+
+    scored = with_lang_id(with_quality_score(with_pii_redacted(kept)))
+    return scored.filter(
+        (F.col("quality_milli") >= 500) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "n_tokens", "quality_milli", "n_email", "redacted_text")
+
+
 def _q_contam_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination: per-doc 3-gram overlap against a
     deterministic benchmark subset (doc_id % 97 == 13), benchmark
@@ -785,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_lsh_verified": _q_dedup_lsh_verified,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "curate_full": _q_curate_full,
         "contam_benchmark": _q_contam_benchmark,
         "text_repetition": _q_text_repetition,
         "pii_redact": _q_pii_redact,
@@ -914,7 +959,7 @@ def _simhash_band_pairs_sql(bits: int, n_bands: int, max_hamming: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     fp_weights = [pow(31, p, 1_000_000_007) for p in range(8)]
-    return {
+    out = {
         "w1_turn_ordering": """
             SELECT user_id, event_id, turn_rank FROM (
               SELECT user_id, event_id,
@@ -1279,6 +1324,109 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN MIN(r) = id THEN 1 ELSE 0 END AS INT) AS is_keeper
             FROM reach GROUP BY id
         """,
+        # full modern curation pipeline: near-dup cluster keepers ->
+        # top-2-gram repetition floor -> PII chain -> quality/lang
+        "curate_full": f"""
+            WITH RECURSIVE
+            sigs AS ({_MINHASH_SIG_SQL}),
+            bands0 AS (
+              SELECT doc_id, 0 AS band,
+                     md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS bucket FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs),
+            bands AS (SELECT * FROM bands0
+                      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket)
+                              <= {_MAX_BUCKET}),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            shj AS ({_SHINGLES}),
+            cnts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shj GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS inter
+              FROM cands c
+              JOIN shj a ON a.doc_id = c.id_a
+              JOIN shj b ON b.doc_id = c.id_b AND b.sh = a.sh
+              GROUP BY c.id_a, c.id_b),
+            prs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN cnts ca ON ca.doc_id = id_a
+              JOIN cnts cb ON cb.doc_id = id_b
+              WHERE CAST(ROUND(1000.0 * inter / (ca.n_sh + cb.n_sh - inter)) AS INT) >= 10),
+            edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                      UNION ALL SELECT id_b, id_a FROM prs),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.b, reach.r FROM edges e JOIN reach ON reach.id = e.a),
+            keepers AS (
+              SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) = id),
+            -- top-2-gram floor (tokens are whitespace-split, so the
+            -- Spark side's space->newline rewrite changes nothing)
+            toks0 AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])) AS g
+              FROM toks0 WHERE len(t) >= 2),
+            gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+            topg AS (SELECT doc_id,
+                            CAST(ROUND(1000.0 * MAX(c) / SUM(c)) AS INT) AS top2
+                     FROM gc GROUP BY doc_id),
+            rep_ok AS (
+              SELECT d.doc_id FROM documents d LEFT JOIN topg USING (doc_id)
+              WHERE COALESCE(top2, 0) <= 150),
+            pii AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '{_PII[0][1]}')) AS INT) AS n_email,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text, '{_PII[0][1]}', '<EMAIL>', 'g'),
+                         '{_PII[1][1]}', '<IP>', 'g'),
+                       '{_PII[2][1]}', '<PHONE>', 'g') AS redacted_text
+              FROM documents),
+            base AS (
+              SELECT d.doc_id, d.text, {_TOKS.replace("text", "d.text")} AS t,
+                     length(d.text) AS nc,
+                     length(d.text) - length(regexp_replace(d.text, '[.,;:!?]', '', 'g')) AS np
+              FROM documents d
+              JOIN keepers k ON k.doc_id = d.doc_id
+              JOIN rep_ok r ON r.doc_id = d.doc_id),
+            feats AS (
+              SELECT doc_id,
+                     len(list_filter(t, x -> x <> '')) AS n_tokens,
+                     CASE WHEN len(list_filter(t, x -> x <> '')) = 0 THEN 0 ELSE
+                       CAST(ROUND(1000.0 * len(list_filter(t,
+                          x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on'))) / len(list_filter(t, x -> x <> ''))) AS INT)
+                     END AS stopword_milli,
+                     CAST(ROUND(1000.0 * np / greatest(nc, 1)) AS INT) AS punct_milli,
+                     CASE WHEN len(list_filter(t, x -> x <> '')) = 0 THEN 0 ELSE
+                       CAST(ROUND(1000.0 * length(regexp_replace(text, '\\s+', '', 'g')) / len(list_filter(t, x -> x <> ''))) AS INT)
+                     END AS avg_token_len_milli,
+                     len(list_filter(t, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
+                     len(list_filter(t, x -> x IN ('el','la','de','que','y','los'))) AS s_es,
+                     len(list_filter(t, x -> x IN ('le','la','les','des','et','un'))) AS s_fr
+              FROM base),
+            scored AS (
+              SELECT doc_id, n_tokens,
+                     CASE WHEN n_tokens = 0 THEN 0 ELSE
+                       CAST(least(stopword_milli * 3, 400)
+                            + CASE WHEN avg_token_len_milli BETWEEN 3000 AND 9000 THEN 300 ELSE 0 END
+                            + greatest(0, 300 - punct_milli * 3) AS INT)
+                     END AS quality_milli,
+                     CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                          WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                          WHEN s_fr > 0 THEN 'fr'
+                          ELSE 'und' END AS lang_pred
+              FROM feats)
+            SELECT s.doc_id, s.n_tokens, s.quality_milli, p.n_email, p.redacted_text
+            FROM scored s JOIN pii p ON p.doc_id = s.doc_id
+            WHERE s.quality_milli >= 500 AND s.lang_pred = 'en'
+        """,
         "contam_benchmark": f"""
             WITH sh5 AS ({_SHINGLES}),
             bench AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % 97 = 13),
@@ -1621,3 +1769,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tok GROUP BY doc_id
         """,
     }
+    # two implementations, one semantics: the star variant must
+    # reproduce the identical component assignment
+    out["dedup_clusters_star"] = out["dedup_clusters"]
+    return out

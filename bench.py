@@ -64,6 +64,7 @@ HEADLINE = [
     "emb_neardup_lsh",
     "emb_ivf_topk",
     "curate_corpus",
+    "curate_full",
     "j_multiway_topk",
     "text_quality",
     "text_langid",
