@@ -119,3 +119,35 @@ def test_html_roundtrip_article_paragraphs(texts):
     )
     clean, spans, meta = extract_html(payload)
     assert clean == "\n".join(texts)
+
+
+def _redact_py(text: str) -> str:
+    """Python-re twin of the redaction chain (patterns are restricted
+    to the Java/RE2/Python-common subset, so `re` is a faithful
+    stand-in for the executor-side engines)."""
+    import re
+
+    from pdfwf_spark.operators.textstats import PII_RULES
+
+    for _name, pat, repl in PII_RULES:
+        text = re.sub(pat, repl, text)
+    return text
+
+
+@given(st.text(alphabet="ab @.-+()0123456789xy\n", max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_pii_redaction_idempotent(text):
+    """Redacting already-redacted text must be a no-op: placeholders
+    contain no digits or '@', so no rule can fire on a prior rule's
+    output. Probed over PII-shaped alphabets (digits, dots, dashes,
+    parens, '@')."""
+    once = _redact_py(text)
+    assert _redact_py(once) == once
+
+
+@given(st.text(alphabet="ab @.-+()0123456789xy\n", max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_pii_redaction_never_raises_and_preserves_clean_text(text):
+    out = _redact_py(text)
+    if not any(c.isdigit() for c in text) and "@" not in text:
+        assert out == text
