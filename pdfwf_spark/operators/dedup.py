@@ -535,7 +535,12 @@ def dup_clusters(
     """
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    edges = fwd.union(rev)
+    # the edge list is LOOP-INVARIANT: hash-partition it on the join
+    # key once and materialize, so every propagation round's
+    # edges->labels join reuses this partitioning instead of
+    # re-shuffling the full edge set per round (labels, which change
+    # each round, are the only side that moves)
+    edges = fwd.union(rev).repartition("src").localCheckpoint(eager=True)
 
     labels = docs.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("lbl")
