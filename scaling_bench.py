@@ -53,6 +53,40 @@ def run_at(cpus: int, convs: int, reps: int) -> dict:
     return json.loads(line)
 
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i % 7
+    return s
+
+
+def host_cpu_probe(n: int, per: int = 6_000_000) -> float:
+    """Pure-CPU N-vs-4N process scaling of the HOST right now:
+    eff = ops/s(4N workers) / (4 x ops/s(N workers)), pinned like the
+    engine runs. The engine cannot scale better than the host lets
+    same-shaped pure-CPU work scale, so this co-measured ceiling is
+    the denominator for interpreting a sub-0.8 engine median: an
+    engine efficiency AT the probe ceiling is a throttled-host
+    observation, not an engine regression. (Observed on this VM:
+    probe itself swings 0.6-1.0 across windows.)"""
+    import time
+    from concurrent.futures import ProcessPoolExecutor
+
+    def measure(workers: int) -> float:
+        os.sched_setaffinity(0, set(range(workers)))
+        try:
+            t0 = time.monotonic()
+            with ProcessPoolExecutor(workers) as ex:
+                list(ex.map(_burn, [per] * workers * 3))
+            return workers * 3 * per / (time.monotonic() - t0)
+        finally:
+            os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
+
+    thr_n = measure(n)
+    thr_4n = measure(4 * n)
+    return thr_4n / (4 * thr_n)
+
+
 def main() -> None:
     # ~1M turns (avg ~21 turns/conv incl. mega-convs): large enough
     # that UDF compute dominates fixed per-job overhead at local[N].
@@ -64,6 +98,9 @@ def main() -> None:
     convs = int(os.environ.get("SCALING_CONVS", "48000"))
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     reps = int(os.environ.get("BENCH_REPS", "1"))
+
+    probe_pre = host_cpu_probe(n)
+    print(json.dumps({"host_probe_pre": round(probe_pre, 3)}), file=sys.stderr)
 
     thr_small: list[float] = []
     thr_large: list[float] = []
@@ -125,6 +162,14 @@ def main() -> None:
         # numbers are reported for forensics on contaminated runs.
         "pass": eff >= 0.8,
     }
+    probe_post = host_cpu_probe(n)
+    result["host_probe_pre"] = round(probe_pre, 3)
+    result["host_probe_post"] = round(probe_post, 3)
+    # engine efficiency normalized by what the host let pure-CPU work
+    # scale in the same window — > 1.0 means the engine scaled BETTER
+    # than same-shaped process parallelism did
+    host_ceiling = max(probe_pre, probe_post)
+    result["eff_vs_host_ceiling"] = round(eff / host_ceiling, 3) if host_ceiling else None
     print(json.dumps(result))
 
     with open(os.path.join(HERE, "BENCH.md"), "a") as f:
@@ -139,7 +184,10 @@ def main() -> None:
             f"thr(4N)/(4·thr(N))) = **{eff:.3f}** (target ≥ 0.8 → "
             f"{'PASS' if eff >= 0.8 else 'FAIL'}); diagnostics: "
             f"best same-round = {eff_best_round:.3f}, cross-round "
-            f"best-window = {eff_best_window:.3f}\n"
+            f"best-window = {eff_best_window:.3f}; host pure-CPU "
+            f"probe (co-measured ceiling) = {probe_pre:.3f} pre / "
+            f"{probe_post:.3f} post, engine/host-ceiling = "
+            f"{eff / max(probe_pre, probe_post):.3f}\n"
         )
 
 
