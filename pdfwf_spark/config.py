@@ -65,18 +65,63 @@ class ExtractConfig:
         """Load + validate; unknown keys are an error (typo'd keys
         silently ignored is the classic config footgun — the
         reference's pydantic models reject them too)."""
+        return dataclass_from_yaml(cls, path)
+
+    def to_yaml(self, path: str | Path) -> None:
         import yaml
 
-        raw = yaml.safe_load(Path(path).read_text()) or {}
-        if not isinstance(raw, dict):
-            raise ValueError(f"{path}: top level must be a mapping")
-        known = {f.name for f in fields(cls)}
-        unknown = sorted(set(raw) - known)
-        if unknown:
+        Path(path).write_text(yaml.safe_dump(asdict(self), sort_keys=False))
+
+
+def dataclass_from_yaml(cls, path: str | Path):
+    """Shared strict YAML->dataclass loader: top level must be a
+    mapping, unknown keys are an error."""
+    import yaml
+
+    raw = yaml.safe_load(Path(path).read_text()) or {}
+    if not isinstance(raw, dict):
+        raise ValueError(f"{path}: top level must be a mapping")
+    known = {f.name for f in fields(cls)}
+    unknown = sorted(set(raw) - known)
+    if unknown:
+        raise ValueError(
+            f"{path}: unknown config keys {unknown}; valid: {sorted(known)}"
+        )
+    return cls(**raw)
+
+
+@dataclass
+class CurateConfig:
+    """Config surface of the curation job (jobs/run_curate.py): the
+    dedup -> repetition -> PII -> quality/language pipeline over a
+    documents table. Stage knobs set to None disable that stage."""
+
+    input: str
+    output: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    near_dup_threshold: float | None = 0.05
+    cluster_algorithm: str = "labelprop"
+    top2gram_max: int | None = 150
+    quality_min: int | None = None
+    langs: list[str] | None = None
+    redact_pii: bool = True
+
+    def __post_init__(self) -> None:
+        if not self.input or not self.output:
+            raise ValueError("config requires non-empty 'input' and 'output'")
+        if self.cluster_algorithm not in ("labelprop", "star"):
             raise ValueError(
-                f"{path}: unknown config keys {unknown}; valid: {sorted(known)}"
+                f"cluster_algorithm must be labelprop|star, got {self.cluster_algorithm!r}"
             )
-        return cls(**raw)
+        if self.near_dup_threshold is not None and not (
+            0 < self.near_dup_threshold <= 1
+        ):
+            raise ValueError("near_dup_threshold must be in (0, 1]")
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "CurateConfig":
+        return dataclass_from_yaml(cls, path)
 
     def to_yaml(self, path: str | Path) -> None:
         import yaml

@@ -1,0 +1,109 @@
+"""The curation pipeline as a library call: near-dup cluster dedup ->
+repetition floor -> PII scrub -> quality/language floor.
+
+Each stage is an independently-oracled operator (see
+operators/dedup.py, operators/textstats.py); this module is the
+composition a production training-data job runs, with every stage
+individually toggleable. The driver query `curate_full`
+(__spark_entry__.py) is a fixed-parameter instance of this pipeline,
+hash-verified against a single DuckDB oracle.
+
+Scale shape: one LSH-banded candidate pass + O(diameter | log n)
+component rounds for the dedup stage; everything downstream is
+scan-side codegen except the top-2-gram mode (two map-side-combining
+aggregates). Nothing quadratic, nothing collected to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdfwf_spark.config import CurateConfig
+
+
+@dataclass
+class CurateResult:
+    curated: DataFrame
+    #: rows surviving each stage, in application order — the audit
+    #: trail a corpus job reports (counted only when collect_stats)
+    stage_counts: dict = field(default_factory=dict)
+
+
+def curate(
+    docs: DataFrame,
+    cfg: CurateConfig,
+    collect_stats: bool = False,
+) -> CurateResult:
+    """Run the configured curation stages over a documents table.
+
+    Returns the curated DataFrame (original columns + quality/PII
+    columns from the enabled stages). With collect_stats, each
+    enabled stage's surviving-row count is recorded (one count action
+    per stage — leave off in production and derive counts from the
+    written output instead).
+    """
+    from pdfwf_spark.operators.dedup import (
+        dup_clusters,
+        dup_clusters_star,
+        lsh_verified_neardups,
+    )
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+    from pdfwf_spark.operators.textstats import (
+        with_lang_id,
+        with_pii_redacted,
+        with_quality_score,
+        with_repetition_stats,
+    )
+
+    id_col, text_col = cfg.id_col, cfg.text_col
+    out = repartition_for_scan(docs)
+    stage_counts: dict = {}
+
+    def note(stage: str, df: DataFrame) -> DataFrame:
+        if collect_stats:
+            stage_counts[stage] = df.count()
+        return df
+
+    note("input", out)
+
+    if cfg.near_dup_threshold is not None:
+        pairs = lsh_verified_neardups(
+            out, text_col=text_col, id_col=id_col,
+            threshold=cfg.near_dup_threshold,
+        )
+        cluster_fn = (
+            dup_clusters_star if cfg.cluster_algorithm == "star" else dup_clusters
+        )
+        keepers = (
+            cluster_fn(out, pairs, id_col=id_col)
+            .filter(F.col("is_keeper") == 1)
+            .select(id_col)
+        )
+        out = note("dedup", out.join(keepers, id_col, "left_semi"))
+
+    if cfg.top2gram_max is not None:
+        ok = (
+            with_repetition_stats(
+                out.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+            )
+            .filter(F.col("top2gram_milli") <= cfg.top2gram_max)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        out = note("repetition", out.join(ok, id_col, "left_semi"))
+
+    if cfg.redact_pii:
+        out = with_pii_redacted(out, text_col=text_col)
+
+    if cfg.quality_min is not None or cfg.langs:
+        out = with_lang_id(with_quality_score(out, text_col=text_col),
+                           text_col=text_col)
+        if cfg.quality_min is not None:
+            out = out.filter(F.col("quality_milli") >= cfg.quality_min)
+        if cfg.langs:
+            out = out.filter(F.col("lang_pred").isin(*cfg.langs))
+        out = note("quality", out)
+
+    return CurateResult(curated=out, stage_counts=stage_counts)

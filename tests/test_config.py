@@ -74,3 +74,62 @@ def test_config_file_drives_job_end_to_end(spark, tmp_path):
     stats = json.loads(line)
     assert stats["input_rows"] > 0 and stats["ok_rows"] > 0
     assert os.path.isdir(f"{out}/turns") and os.path.isdir(f"{out}/lineage")
+
+
+def test_curate_config_yaml_and_validation(tmp_path):
+    from pdfwf_spark.config import CurateConfig
+
+    p = tmp_path / "c.yaml"
+    p.write_text("input: /in\noutput: /out\nquality_min: 500\nlangs: [en]\n")
+    cfg = CurateConfig.from_yaml(p)
+    assert cfg.quality_min == 500 and cfg.langs == ["en"]
+    assert cfg.near_dup_threshold == 0.05 and cfg.redact_pii
+
+    p.write_text("input: /in\noutput: /out\nbogus_key: 1\n")
+    with pytest.raises(ValueError, match="unknown config keys"):
+        CurateConfig.from_yaml(p)
+    with pytest.raises(ValueError, match="cluster_algorithm"):
+        CurateConfig(input="/in", output="/out", cluster_algorithm="nope")
+    with pytest.raises(ValueError, match="near_dup_threshold"):
+        CurateConfig(input="/in", output="/out", near_dup_threshold=2.0)
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    """YAML-driven curation job over a small corpus with a planted
+    near-dup pair, a repetitive doc, and a PII doc: the dup loser and
+    the repetitive doc are dropped, PII is redacted in the output."""
+    import json as _json
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "naps in the warm afternoon sun for a while")
+    rows = [
+        (0, base),
+        (1, base + " indeed"),                      # near-dup of 0 -> dropped
+        (2, "spam ham " * 30),                       # top2gram-dominant -> dropped
+        (3, "a perfectly normal doc about the sea and the sky "
+            "mail me at bob@x.io for details"),      # kept, email redacted
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    cfgp = tmp_path / "curate.yaml"
+    cfgp.write_text(f"input: {src}\noutput: {tmp_path / 'out'}\n"
+                    "near_dup_threshold: 0.3\ntop2gram_max: 300\n")
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_curate.py"),
+         "--config", str(cfgp)],
+        capture_output=True, text=True, env=env, timeout=240,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
+    stats = _json.loads(line)
+    assert stats["stages"]["input"] == 4
+    assert stats["stages"]["dedup"] == 3
+    assert stats["stages"]["repetition"] == 2
+
+    out = {r["doc_id"]: r for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(out) == {0, 3}
+    assert "<EMAIL>" in out[3]["redacted_text"]
