@@ -1,0 +1,107 @@
+"""Streaming incremental exact-dedup: documents arrive continuously,
+each micro-batch keeps only docs whose content was never seen before
+— in THIS batch or in any committed batch of history.
+
+The production shape for a continuously-crawled corpus: the "seen"
+state is a compact digest table (16-byte md5 per unique doc ever
+kept, NOT the docs themselves), so per-batch work is
+
+    batch -> digest -> in-batch keeper (min id per digest)
+          -> broadcast/shuffle anti-join vs seen-digests
+          -> append keepers + append their digests
+
+which is O(batch + |seen| scan); at cluster scale the seen table is
+bucketed by digest so the anti-join is a bucket-local semi-diff, and
+the per-epoch appends are partitioned by digest prefix to keep files
+aligned with those buckets.
+
+Delivery semantics mirror streaming/ingest.py: foreachBatch is
+at-least-once, so the digest append carries the epoch id and the
+anti-join reads digests of ALL epochs (a replayed epoch's docs are
+already in seen -> the replay appends nothing — idempotent without a
+commit protocol, because KEEPING a doc twice is the only hazard and
+the digest row from the first attempt blocks it; a crash BETWEEN the
+data append and the digest append can duplicate one epoch's data on
+replay, so jobs needing exactly-once layer the run_id lineage
+protocol of ingest.py on top — kept out of this operator to keep the
+state-table pattern legible).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("epoch", T.LongType(), False),
+    ]
+)
+
+
+def _seen_digests(spark: SparkSession, seen_path: str) -> DataFrame:
+    if os.path.isdir(seen_path):
+        return spark.read.schema(SEEN_SCHEMA).parquet(seen_path).select("digest")
+    return spark.createDataFrame([], SEEN_SCHEMA).select("digest")
+
+
+def start_incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 4,
+    input_schema: T.StructType | None = None,
+) -> StreamingQuery:
+    """Start the incremental-dedup stream over a parquet directory.
+
+    Writes {out_dir}/docs (kept docs + their digest) and
+    {out_dir}/seen (the digest state table). Returns the running
+    StreamingQuery; callers own awaitTermination/stop.
+    """
+    schema = input_schema or T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(text_col, T.StringType(), True),
+        ]
+    )
+    docs_path = os.path.join(out_dir, "docs")
+    seen_path = os.path.join(out_dir, "seen")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch: DataFrame, epoch: int) -> None:
+        b = batch.withColumn("digest", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+        # in-batch dedup first: deterministic min-id keeper per digest
+        w_min = b.groupBy("digest").agg(F.min(id_col).alias(id_col))
+        kept = b.join(w_min, ["digest", id_col], "left_semi")
+        # then against all committed history
+        seen = _seen_digests(batch.sparkSession, seen_path)
+        fresh = kept.join(seen, "digest", "left_anti")
+        fresh = fresh.persist()
+        try:
+            fresh.write.mode("append").parquet(docs_path)
+            (
+                fresh.select("digest", F.lit(epoch).cast("long").alias("epoch"))
+                .write.mode("append").parquet(seen_path)
+            )
+        finally:
+            fresh.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint or os.path.join(out_dir, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -325,3 +325,37 @@ def test_stream_cache_rebuilds_across_query_restarts(spark, tmp_path):
     got = sorted((r["turn_idx"], r["turn_rank"])
                  for r in read_output(spark, out).collect())
     assert got == [(t, t + 1) for t in range(5)]
+
+
+def test_incremental_dedup_across_micro_batches(spark, tmp_path):
+    """Duplicates must be dropped WITHIN a batch (min-id keeper) and
+    ACROSS batches (digest state table): a doc re-arriving in a later
+    epoch never lands twice."""
+    from pdfwf_spark.streaming.dedup import start_incremental_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+
+    # epoch-ish file 1: in-batch dup (ids 0,1 same text)
+    spark.createDataFrame(
+        [(0, "alpha body"), (1, "alpha body"), (2, "beta body")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = start_incremental_dedup(spark, src, out, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    # later file: replay of 'alpha body' + one new doc
+    spark.createDataFrame(
+        [(7, "alpha body"), (8, "gamma body")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q2 = start_incremental_dedup(spark, src, out, max_files_per_trigger=1)
+    q2.awaitTermination()
+
+    docs = spark.read.parquet(f"{out}/docs")
+    kept = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert kept == {0: "alpha body", 2: "beta body", 8: "gamma body"}
+
+    seen = spark.read.parquet(f"{out}/seen")
+    assert seen.select("digest").distinct().count() == 3
