@@ -767,6 +767,26 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_repetition_stats(docs)
 
 
+def _q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-statistics aggregate: exact interpolated p50/p90/p99 of
+    tokens-per-doc (the corpus length distribution every curation
+    run reports). Exact `percentile`, not approx_percentile, so the
+    DuckDB quantile_cont oracle matches bit-for-bit; values scaled to
+    milli-ints to keep the hash compare off raw doubles. At 100 TB
+    you'd swap in approx_percentile (t-digest, mergeable map-side) —
+    same plan shape, sketch instead of sort."""
+    from pdfwf_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(token_count(F.col("text")).alias("n"))
+    return n.agg(
+        F.round(1000 * F.expr("percentile(n, 0.5)")).cast("long").alias("p50_milli"),
+        F.round(1000 * F.expr("percentile(n, 0.9)")).cast("long").alias("p90_milli"),
+        F.round(1000 * F.expr("percentile(n, 0.99)")).cast("long").alias("p99_milli"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (email / IPv4 / phone -> typed placeholders with
     per-category counts). The corpus has no PII, so a deterministic
@@ -833,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contam_benchmark": _q_contam_benchmark,
         "text_repetition": _q_text_repetition,
         "pii_redact": _q_pii_redact,
+        "corpus_quantiles": _q_corpus_quantiles,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_neardup_exact": _q_emb_neardup_exact,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
@@ -1470,6 +1491,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, p.n_lines, p.dup_line_milli, p.dup_char_milli,
                    COALESCE(t.top2gram_milli, 0) AS top2gram_milli
             FROM per_row p LEFT JOIN top t USING (doc_id)
+        """,
+        "corpus_quantiles": rf"""
+            WITH n AS (
+              SELECT len(list_filter({_TOKS}, x -> x <> '')) AS n
+              FROM documents)
+            SELECT CAST(ROUND(1000 * quantile_cont(n, 0.5)) AS BIGINT) AS p50_milli,
+                   CAST(ROUND(1000 * quantile_cont(n, 0.9)) AS BIGINT) AS p90_milli,
+                   CAST(ROUND(1000 * quantile_cont(n, 0.99)) AS BIGINT) AS p99_milli,
+                   COUNT(*) AS n_docs
+            FROM n
         """,
         "pii_redact": f"""
             WITH docs2 AS (
