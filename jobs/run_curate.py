@@ -41,15 +41,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--no-pii", action="store_true")
     args = ap.parse_args(argv)
 
-    from pdfwf_spark.config import CurateConfig
+    from pdfwf_spark.config import CurateConfig, cli_or_yaml, yaml_mapping
 
-    yaml_vals = (CurateConfig.from_yaml(args.config).__dict__
-                 if args.config else {})
+    # YAML loaded as a MAPPING (not constructed): a YAML holding only
+    # stage knobs + --input/--output flags is valid — required fields
+    # and validation apply to the post-merge config only
+    yaml_vals = yaml_mapping(CurateConfig, args.config) if args.config else {}
 
     def pick(key: str, cli_val, default):
-        if cli_val is not None:
-            return cli_val
-        return yaml_vals.get(key, default) if key in yaml_vals else default
+        return cli_or_yaml(yaml_vals, key, cli_val, default)
 
     langs = args.langs.split(",") if args.langs else pick("langs", None, None)
     cfg = CurateConfig(
@@ -76,15 +76,13 @@ def main(argv: list[str] | None = None) -> None:
 
     from pyspark.sql import SparkSession
 
+    from pdfwf_spark.config import read_input
     from pdfwf_spark.curation import curate
 
     spark = SparkSession.builder.appName("pdfwf_spark_curate").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if cfg.input.endswith((".parquet", "/")) or "/" in cfg.input:
-        docs = spark.read.parquet(cfg.input)
-    else:
-        docs = spark.read.table(cfg.input)
+    docs = read_input(spark, cfg.input)
 
     result = curate(docs, cfg, collect_stats=True)
     result.curated.write.mode("overwrite").parquet(cfg.output)

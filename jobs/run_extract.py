@@ -57,16 +57,16 @@ def main(argv: list[str] | None = None) -> None:
                          "to exactly N rows per file (balance.py analog)")
     args = ap.parse_args(argv)
 
-    from pdfwf_spark.config import ExtractConfig
+    from pdfwf_spark.config import ExtractConfig, cli_or_yaml, yaml_mapping
 
     # YAML first, explicit CLI flags on top (pydantic-settings
-    # precedence: reference utils.py:30-89)
-    yaml_vals = (ExtractConfig.from_yaml(args.config).__dict__
-                 if args.config else {})
+    # precedence: reference utils.py:30-89). Loaded as a MAPPING, not
+    # constructed: a YAML of only tuning knobs + --input/--output
+    # flags is valid, so required-field validation happens post-merge.
+    yaml_vals = yaml_mapping(ExtractConfig, args.config) if args.config else {}
+
     def pick(key: str, cli_val, default):
-        if cli_val is not None and cli_val is not False:
-            return cli_val
-        return yaml_vals.get(key, default) if key in yaml_vals else default
+        return cli_or_yaml(yaml_vals, key, cli_val, default)
 
     cfg = ExtractConfig(
         input=pick("input", args.input, None) or ap.error("--input or config 'input' required"),
@@ -89,10 +89,9 @@ def main(argv: list[str] | None = None) -> None:
     spark = SparkSession.builder.appName("pdfwf_spark_extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if cfg.input.endswith((".parquet", "/")) or "/" in cfg.input:
-        transcripts = spark.read.parquet(cfg.input)
-    else:
-        transcripts = spark.read.table(cfg.input)
+    from pdfwf_spark.config import read_input
+
+    transcripts = read_input(spark, cfg.input)
     if cfg.limit:
         transcripts = transcripts.limit(cfg.limit)
 

@@ -76,18 +76,7 @@ class ExtractConfig:
 def dataclass_from_yaml(cls, path: str | Path):
     """Shared strict YAML->dataclass loader: top level must be a
     mapping, unknown keys are an error."""
-    import yaml
-
-    raw = yaml.safe_load(Path(path).read_text()) or {}
-    if not isinstance(raw, dict):
-        raise ValueError(f"{path}: top level must be a mapping")
-    known = {f.name for f in fields(cls)}
-    unknown = sorted(set(raw) - known)
-    if unknown:
-        raise ValueError(
-            f"{path}: unknown config keys {unknown}; valid: {sorted(known)}"
-        )
-    return cls(**raw)
+    return cls(**yaml_mapping(cls, path))
 
 
 @dataclass
@@ -127,3 +116,41 @@ class CurateConfig:
         import yaml
 
         Path(path).write_text(yaml.safe_dump(asdict(self), sort_keys=False))
+
+
+def yaml_mapping(cls, path: str | Path) -> dict:
+    """Strict YAML->dict for a dataclass surface WITHOUT constructing
+    it: unknown keys are an error, but required fields may be absent
+    (the job CLIs merge CLI flags on top BEFORE validating — a YAML
+    holding only stage knobs plus --input/--output flags is the
+    documented precedence, so construction must happen post-merge)."""
+    import yaml
+
+    raw = yaml.safe_load(Path(path).read_text()) or {}
+    if not isinstance(raw, dict):
+        raise ValueError(f"{path}: top level must be a mapping")
+    known = {f.name for f in fields(cls)}
+    unknown = sorted(set(raw) - known)
+    if unknown:
+        raise ValueError(
+            f"{path}: unknown config keys {unknown}; valid: {sorted(known)}"
+        )
+    return raw
+
+
+def cli_or_yaml(yaml_vals: dict, key: str, cli_val, default):
+    """Job-CLI precedence: an explicitly given CLI value wins, then
+    the YAML value, then the default. None means 'flag not given';
+    False likewise (argparse store_true defaults — a YAML true must
+    not be masked by an unset flag)."""
+    if cli_val is not None and cli_val is not False:
+        return cli_val
+    return yaml_vals.get(key, default) if key in yaml_vals else default
+
+
+def read_input(spark, path_or_table: str):
+    """Shared job-input reader: parquet path if it looks like a path,
+    catalog table otherwise."""
+    if path_or_table.endswith((".parquet", "/")) or "/" in path_or_table:
+        return spark.read.parquet(path_or_table)
+    return spark.read.table(path_or_table)

@@ -492,6 +492,24 @@ def lsh_verified_neardups(
     )
 
 
+def _require_integral_id(docs, id_col: str, op: str) -> None:
+    """Both component algorithms order labels numerically (cluster_id
+    = component-min id) and cast ids to long: a string/uuid id column
+    would cast to all-NULL labels and silently mark every doc a
+    non-keeper — corpus-deleting, so fail loudly instead. Use a
+    numeric surrogate (xxhash64(id) has a ~n^2/2^64 collision risk;
+    zipWithIndex-style assignment is exact) and join back."""
+    from pyspark.sql import types as T
+
+    dt = docs.schema[id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"{op} requires an integral {id_col!r} (got {dt.simpleString()}): "
+            "labels are component-MIN ids cast to long; map string ids to a "
+            "numeric surrogate first and join the result back"
+        )
+
+
 def dup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -533,6 +551,7 @@ def dup_clusters(
     Output: (doc_id, cluster_id, is_keeper int). Docs with no pairs
     are singleton keepers.
     """
+    _require_integral_id(docs, id_col, "dup_clusters")
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     # the edge list is LOOP-INVARIANT: hash-partition it on the join
@@ -668,6 +687,7 @@ def dup_clusters_star(
     its component min) is detected by an edge-set checksum, one 1-row
     action per half-round.
     """
+    _require_integral_id(docs, id_col, "dup_clusters_star")
     edges = (
         pairs.select(F.col("id_a").cast("long").alias("u"),
                      F.col("id_b").cast("long").alias("v"))

@@ -45,9 +45,13 @@ SEEN_SCHEMA = T.StructType(
 
 
 def _seen_digests(spark: SparkSession, seen_path: str) -> DataFrame:
-    if os.path.isdir(seen_path):
-        return spark.read.schema(SEEN_SCHEMA).parquet(seen_path).select("digest")
-    return spark.createDataFrame([], SEEN_SCHEMA).select("digest")
+    # read_or_empty, NOT os.path.isdir: an isdir gate is
+    # local-posix-only (always False on s3a://hdfs:// paths — which
+    # would silently disable cross-batch dedup) and would also turn
+    # storage outages into "no data yet"
+    from pdfwf_spark.operators.lineage import read_or_empty
+
+    return read_or_empty(spark, seen_path, SEEN_SCHEMA).select("digest")
 
 
 def start_incremental_dedup(
@@ -83,9 +87,15 @@ def start_incremental_dedup(
 
     def process_batch(batch: DataFrame, epoch: int) -> None:
         b = batch.withColumn("digest", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
-        # in-batch dedup first: deterministic min-id keeper per digest
+        # in-batch dedup first: deterministic min-id keeper per digest.
+        # The trailing dropDuplicates matters: a replayed RECORD (same
+        # id AND text twice in one batch) matches the semi-join twice —
+        # semi-joins preserve left multiplicity
         w_min = b.groupBy("digest").agg(F.min(id_col).alias(id_col))
-        kept = b.join(w_min, ["digest", id_col], "left_semi")
+        kept = (
+            b.join(w_min, ["digest", id_col], "left_semi")
+            .dropDuplicates(["digest"])
+        )
         # then against all committed history
         seen = _seen_digests(batch.sparkSession, seen_path)
         fresh = kept.join(seen, "digest", "left_anti")

@@ -72,6 +72,11 @@ def host_cpu_probe(n: int, per: int = 6_000_000) -> float:
     import time
     from concurrent.futures import ProcessPoolExecutor
 
+    # restore the affinity we ENTERED with, not range(cpu_count):
+    # the process may itself be pinned (the repo's own protocol), and
+    # a restricted cpuset can expose fewer CPUs than cpu_count
+    entry_mask = os.sched_getaffinity(0)
+
     def measure(workers: int) -> float:
         os.sched_setaffinity(0, set(range(workers)))
         try:
@@ -80,7 +85,7 @@ def host_cpu_probe(n: int, per: int = 6_000_000) -> float:
                 list(ex.map(_burn, [per] * workers * 3))
             return workers * 3 * per / (time.monotonic() - t0)
         finally:
-            os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
+            os.sched_setaffinity(0, entry_mask)
 
     thr_n = measure(n)
     thr_4n = measure(4 * n)

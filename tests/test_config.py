@@ -133,3 +133,21 @@ def test_curate_job_end_to_end(spark, tmp_path):
            spark.read.parquet(str(tmp_path / "out")).collect()}
     assert set(out) == {0, 3}
     assert "<EMAIL>" in out[3]["redacted_text"]
+
+
+def test_partial_yaml_plus_flags(tmp_path):
+    """A YAML of only tuning knobs + input/output from CLI flags is
+    the documented precedence — required-field validation must happen
+    AFTER the merge, not at YAML load."""
+    from pdfwf_spark.config import CurateConfig, cli_or_yaml, yaml_mapping
+
+    p = tmp_path / "knobs.yaml"
+    p.write_text("quality_min: 500\ntop2gram_max: 200\n")
+    vals = yaml_mapping(CurateConfig, p)
+    assert vals == {"quality_min": 500, "top2gram_max": 200}
+
+    # CLI wins over YAML; YAML wins over default; False = not-given
+    assert cli_or_yaml(vals, "quality_min", 700, None) == 700
+    assert cli_or_yaml(vals, "quality_min", None, None) == 500
+    assert cli_or_yaml(vals, "langs", None, ["en"]) == ["en"]
+    assert cli_or_yaml({"markdown_compat": True}, "markdown_compat", False, False)

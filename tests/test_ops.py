@@ -496,3 +496,16 @@ def test_dup_clusters_star_long_chain(spark):
     out = dup_clusters_star(nodes, pairs, max_iters=12).collect()
     assert all(r["cluster_id"] == 0 for r in out)
     assert sum(r["is_keeper"] for r in out) == 1
+
+
+def test_dup_clusters_rejects_string_ids(spark):
+    """String/uuid ids would cast to all-NULL labels and silently mark
+    every doc a non-keeper — must fail loudly instead."""
+    from pdfwf_spark.operators.dedup import dup_clusters, dup_clusters_star
+
+    nodes = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with pytest.raises(TypeError, match="integral"):
+        dup_clusters(nodes, pairs)
+    with pytest.raises(TypeError, match="integral"):
+        dup_clusters_star(nodes, pairs)

@@ -189,7 +189,9 @@ def test_repetition_line_stats_need_no_shuffle(spark):
     HashAggregates with partial combine + the join back); the line
     stats themselves are per-row. Guard: no more than the 3 expected
     exchanges, and the gram aggregate must be a partial-combining
-    HashAggregate, never a sort-based fallback."""
+    HashAggregate, never a sort-based fallback. Measured plan: exactly
+    3 exchanges — (doc_id, g) agg, doc_id agg, join-back of the
+    per-row side — pinned exactly so one regressed shuffle fails."""
     from pdfwf_spark.operators.textstats import with_repetition_stats
 
     docs = spark.createDataFrame(
@@ -198,4 +200,4 @@ def test_repetition_line_stats_need_no_shuffle(spark):
     assert "HashAggregate" in plan, plan
     assert "ObjectHashAggregate" not in plan and "SortAggregate" not in plan, plan
     n_ex = plan.count("Exchange ") + plan.count("Exchange\n")
-    assert n_ex <= 4, plan
+    assert n_ex == 3, plan
