@@ -66,6 +66,7 @@ HEADLINE = [
     "curate_corpus",
     "curate_full",
     "j_multiway_topk",
+    "corpus_quantiles",
     "text_quality",
     "text_langid",
     "text_fingerprint",
