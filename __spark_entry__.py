@@ -767,6 +767,17 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_repetition_stats(docs)
 
 
+def _q_text_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier score (fasttext/CCNet-style
+    quality filter shape): token -> md5-hashed integer weight, doc
+    score = mean token weight. Integer arithmetic end to end, so the
+    oracle reproduces scores exactly."""
+    from pdfwf_spark.operators.textstats import with_hashed_classifier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_hashed_classifier_score(docs).select("doc_id", "clf_score_milli")
+
+
 def _q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-statistics aggregate: exact interpolated p50/p90/p99 of
     tokens-per-doc (the corpus length distribution every curation
@@ -854,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "pii_redact": _q_pii_redact,
         "corpus_quantiles": _q_corpus_quantiles,
+        "text_clf_score": _q_text_clf_score,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_neardup_exact": _q_emb_neardup_exact,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
@@ -1491,6 +1503,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, p.n_lines, p.dup_line_milli, p.dup_char_milli,
                    COALESCE(t.top2gram_milli, 0) AS top2gram_milli
             FROM per_row p LEFT JOIN top t USING (doc_id)
+        """,
+        "text_clf_score": rf"""
+            WITH t AS (
+              SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN 0 ELSE
+                     CAST(ROUND(1000.0 * list_sum(list_transform(toks,
+                          x -> ('0x' || substr(md5(x), 1, 4))::BIGINT % 2001 - 1000))
+                          / len(toks)) AS BIGINT)
+                   END AS clf_score_milli
+            FROM t
         """,
         "corpus_quantiles": rf"""
             WITH n AS (

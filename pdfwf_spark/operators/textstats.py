@@ -248,3 +248,40 @@ def with_pii_redacted(docs: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, repl)
     return out.withColumn(f"redacted_{text_col}", cur)
+
+
+def with_hashed_classifier_score(
+    docs: DataFrame, text_col: str = "text", buckets: int = 2001
+) -> DataFrame:
+    """Hashing-trick linear classifier score per doc — the fasttext /
+    CCNet-style quality-filter shape (token -> hashed feature ->
+    weight; doc score = mean token weight) used to select
+    high-quality training documents at corpus scale.
+
+    Pure per-row expression: transform(tokens, md5-hash -> weight) ->
+    aggregate sum — zero shuffle, whole-stage codegen, scan-side at
+    any scale. Weights here are md5-derived integers in [-1000, 1000]
+    (a learned model would broadcast a weight array and index it by
+    the same hash — identical plan shape); integer arithmetic end to
+    end so the DuckDB oracle reproduces scores exactly (no float
+    sigmoid drift).
+
+    Output: clf_score_milli = round(1000 * sum(w) / n) with w in
+    [-1000, 1000] — i.e. milli-units of mean token weight.
+    """
+    t = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    w = F.transform(
+        t,
+        lambda x: (
+            F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long")
+            % F.lit(buckets) - F.lit((buckets - 1) // 2)
+        ),
+    )
+    total = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n = F.size(t)
+    return docs.withColumn(
+        "clf_score_milli",
+        F.when(n == 0, F.lit(0)).otherwise(
+            F.round(1000 * total / n).cast("long")
+        ),
+    )

@@ -509,3 +509,31 @@ def test_dup_clusters_rejects_string_ids(spark):
         dup_clusters(nodes, pairs)
     with pytest.raises(TypeError, match="integral"):
         dup_clusters_star(nodes, pairs)
+
+
+def test_hashed_classifier_score(spark):
+    """Deterministic md5-weight reference computed in pure Python must
+    match the JVM expression; blank doc scores 0."""
+    import hashlib
+
+    from pdfwf_spark.operators.textstats import with_hashed_classifier_score
+
+    rows = [(0, "alpha beta gamma"), (1, ""), (2, "  \t "), (3, "alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clf_score_milli"]
+           for r in with_hashed_classifier_score(df).collect()}
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 2001 - 1000
+
+    import decimal
+    def ref(toks):
+        if not toks:
+            return 0
+        # Spark round() is HALF_UP on the exact decimal quotient
+        q = decimal.Decimal(1000 * sum(w(t) for t in toks)) / len(toks)
+        return int(q.quantize(0, rounding=decimal.ROUND_HALF_UP))
+
+    assert out[0] == ref(["alpha", "beta", "gamma"])
+    assert out[1] == 0 and out[2] == 0
+    assert out[3] == ref(["alpha"]) == 1000 * w("alpha") // 1 // 1
