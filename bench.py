@@ -67,6 +67,7 @@ HEADLINE = [
     "curate_full",
     "j_multiway_topk",
     "corpus_quantiles",
+    "text_clf_score",
     "text_quality",
     "text_langid",
     "text_fingerprint",
