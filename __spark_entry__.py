@@ -767,6 +767,31 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_repetition_stats(docs)
 
 
+def _q_web_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level URL histogram (the C4/RefinedWeb blocklist /
+    per-domain-cap building block). The corpus has no URLs, so a
+    deterministic link block is appended per doc — identical
+    expression in the oracle — giving a 10-domain histogram."""
+    from pdfwf_spark.operators.textstats import domain_counts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" and http://cdn"),
+                            (F.col("doc_id") % 2).cast("string"),
+                            F.lit(".example.org/x")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return domain_counts(docs)
+
+
 def _q_text_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick linear classifier score (fasttext/CCNet-style
     quality filter shape): token -> md5-hashed integer weight, doc
@@ -866,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "corpus_quantiles": _q_corpus_quantiles,
         "text_clf_score": _q_text_clf_score,
+        "web_domain_counts": _q_web_domain_counts,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_neardup_exact": _q_emb_neardup_exact,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
@@ -895,6 +921,10 @@ from pdfwf_spark.operators.dedup import (          # noqa: E402
     DEFAULT_MAX_SHINGLE_DF as _MAX_SHINGLE_DF,
 )
 from pdfwf_spark.operators.textstats import PII_RULES as _PII  # noqa: E402
+from pdfwf_spark.operators.textstats import (  # noqa: E402
+    DOMAIN_PATTERN as _DOMAIN_PAT,
+    URL_PATTERN as _URL_PAT,
+)
 
 _SHINGLES = (
     "SELECT doc_id, sh FROM ("
@@ -1503,6 +1533,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, p.n_lines, p.dup_line_milli, p.dup_char_milli,
                    COALESCE(t.top2gram_milli, 0) AS top2gram_milli
             FROM per_row p LEFT JOIN top t USING (doc_id)
+        """,
+        "web_domain_counts": f"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     text || ' see https://site' || (doc_id % 7)::VARCHAR
+                          || '.example.com/page/' || doc_id::VARCHAR
+                          || CASE WHEN doc_id % 3 = 0
+                             THEN ' and http://cdn' || (doc_id % 2)::VARCHAR
+                                  || '.example.org/x'
+                             ELSE '' END AS text
+              FROM documents),
+            urls AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                        '{_URL_PAT.replace(chr(39), chr(39) * 2)}')) AS url
+              FROM docs2),
+            doms AS (
+              SELECT doc_id,
+                     lower(regexp_extract(url,
+                        '{_DOMAIN_PAT.replace(chr(39), chr(39) * 2)}', 1)) AS domain
+              FROM urls)
+            SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+            FROM doms GROUP BY domain
         """,
         "text_clf_score": rf"""
             WITH t AS (

@@ -68,6 +68,7 @@ HEADLINE = [
     "j_multiway_topk",
     "corpus_quantiles",
     "text_clf_score",
+    "web_domain_counts",
     "text_quality",
     "text_langid",
     "text_fingerprint",

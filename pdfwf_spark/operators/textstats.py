@@ -285,3 +285,42 @@ def with_hashed_classifier_score(
             F.round(1000 * total / n).cast("long")
         ),
     )
+
+
+#: Java-regex/RE2-common URL pattern (no lookaround/backrefs)
+URL_PATTERN = r"https?://[^\s<>\"']+"
+DOMAIN_PATTERN = r"https?://([^/\s:<>\"']+)"
+
+
+def domain_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain URL histogram over a corpus — the building block of
+    domain-level curation (C4/RefinedWeb-style blocklists, per-domain
+    caps, URL-frequency weighting).
+
+    extract-all -> explode -> lowercase domain -> one count aggregate
+    with map-side combine; the shuffle carries one row per distinct
+    domain. A blocklist application is then a broadcast semi-join
+    against this output's domain column.
+
+    Output: (domain, n_urls, n_docs) — total URL occurrences and
+    distinct docs linking to the domain.
+    """
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
+    urls = repartition_for_scan(docs).select(
+        F.col("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    )
+    return (
+        urls.select(
+            "doc_id",
+            F.lower(F.regexp_extract(F.col("url"), DOMAIN_PATTERN, 1)).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )

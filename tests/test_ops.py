@@ -537,3 +537,19 @@ def test_hashed_classifier_score(spark):
     assert out[0] == ref(["alpha", "beta", "gamma"])
     assert out[1] == 0 and out[2] == 0
     assert out[3] == ref(["alpha"]) == 1000 * w("alpha") // 1 // 1
+
+
+def test_domain_counts(spark):
+    from pdfwf_spark.operators.textstats import domain_counts
+
+    rows = [
+        (0, "see https://A.Example.COM/x and http://a.example.com/y done"),
+        (1, "also https://a.example.com/z plus https://other.net/q"),
+        (2, "no links here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["domain"]: (r["n_urls"], r["n_docs"])
+           for r in domain_counts(df).collect()}
+    assert out["a.example.com"] == (3, 2)       # case-folded, 2 distinct docs
+    assert out["other.net"] == (1, 1)
+    assert set(out) == {"a.example.com", "other.net"}
