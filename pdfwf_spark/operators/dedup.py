@@ -564,7 +564,12 @@ def dup_clusters(
     labels = docs.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("lbl")
     ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    # decimal(38,0) sum: ids are commonly xxhash64 surrogates spanning the
+    # full signed-64 range, so a plain long sum overflows (ANSI: failure;
+    # legacy: silent wraparound weakening the monotone-decrease invariant) —
+    # same reasoning as _edges_checksum in dup_clusters_star
+    _lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lbl_sum).collect()[0][0]
 
     for _ in range(max_iters):
         nbr_min = (
@@ -580,7 +585,7 @@ def dup_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        cur_sum = labels.agg(_lbl_sum).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

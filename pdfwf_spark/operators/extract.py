@@ -144,6 +144,12 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             }
         )
 
+    # a task fed only empty batches never attached the init cost to a
+    # row — put it back so a later task in this worker process reports
+    # it instead of dropping the initialize-parser wall from lineage
+    if init_to_report:
+        _INIT_US += init_to_report
+
 
 def extract_turns(transcripts: DataFrame) -> DataFrame:
     """transcripts (+ bucket col) -> extracted rows, all statuses.

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pdfwf_spark.core.normalize import WS_CLASS
 from pdfwf_spark.operators.dedup import tokens
 
 # tiny deterministic marker vocabularies (n-gram-heuristic stand-in;
@@ -287,9 +288,13 @@ def with_hashed_classifier_score(
     )
 
 
-#: Java-regex/RE2-common URL pattern (no lookaround/backrefs)
-URL_PATTERN = r"https?://[^\s<>\"']+"
-DOMAIN_PATTERN = r"https?://([^/\s:<>\"']+)"
+#: Java-regex/RE2-common URL pattern (no lookaround/backrefs).
+#: Whitespace via WS_CLASS, not \s: Java's \s includes \x0B while RE2's
+#: does not, so a vertical-tab-delimited URL would tokenize differently
+#: in Spark vs a DuckDB/RE2 twin — same pinning contract as every other
+#: shared pattern (core/normalize.py WS_CLASS).
+URL_PATTERN = rf"https?://[^{WS_CLASS}<>\"']+"
+DOMAIN_PATTERN = rf"https?://([^/{WS_CLASS}:<>\"']+)"
 
 
 def domain_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -23,6 +23,7 @@ snapshot commit subsumes this dance when its catalog is present).
 
 from __future__ import annotations
 
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -137,6 +138,16 @@ def run_extraction(
     lineage at {out_dir}/lineage)."""
     t0 = time.monotonic()
     run_id = run_id or uuid.uuid4().hex[:12]
+    # run_id becomes a literal partition-directory component that
+    # lineage_from_written string-builds back ("{data_path}/run_id={run_id}");
+    # any char Spark percent-escapes in partition dir names (space ':' '%'
+    # '/') would make that pruned read miss the files just written and
+    # silently orphan the run's data — reject up front instead
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", run_id):
+        raise ValueError(
+            f"run_id {run_id!r} must match [A-Za-z0-9._-]+ (it is used "
+            "verbatim as a partition directory name)"
+        )
     data_path = f"{out_dir}/turns"
     lineage_path = f"{out_dir}/lineage"
 

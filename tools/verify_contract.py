@@ -6,7 +6,7 @@ values over name-sorted columns) PLUS per-cell python-type equality —
 the check that catches DuckDB HUGEINT-vs-BIGINT hash mismatches
 locally before the driver does.
 
-    python tools/verify_contract.py [sf_dir]     # default sf0.01
+    python tools/verify_contract.py [sf_dir] [--only name1,name2]
 """
 import duckdb, math
 import sys
@@ -18,7 +18,13 @@ spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.sql.session.timeZone", "UTC").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+args = sys.argv[1:]
+only = None
+if "--only" in args:
+    i = args.index("--only")
+    only = set(args[i + 1].split(","))
+    del args[i:i + 2]
+SF = args[0] if args else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
@@ -31,8 +37,14 @@ def canon(rows, cols):
         return v
     return sorted((tuple(nc(r[i]) for i in order) for r in rows), key=repr)
 
-print("entry rows:", em.entry(spark).count(), flush=True)
+if only is None:
+    print("entry rows:", em.entry(spark).count(), flush=True)
 qs, os_ = em.queries(), em.oracle_sql()
+if only is not None:
+    unknown = only - set(os_)
+    if unknown:
+        raise SystemExit(f"--only names not in oracle_sql(): {sorted(unknown)}")
+    os_ = {k: v for k, v in os_.items() if k in only}
 bad = []
 for name, sql in os_.items():
     sdf = qs[name](spark, SF)
