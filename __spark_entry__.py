@@ -823,6 +823,35 @@ def _q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles the scale-correct way: value-histogram +
+    cumulative rank over DISTINCT values only (shuffle O(distinct), no
+    global row sort — sketch.histogram_quantiles). Same answer as the
+    sort-based `percentile`, so the same quantile_cont oracle holds
+    bit-for-bit."""
+    from pdfwf_spark.operators.sketch import histogram_quantiles
+    from pdfwf_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(token_count(F.col("text")).alias("n"))
+    return histogram_quantiles(n, "n", [0.5, 0.9, 0.99])
+
+
+def _q_corpus_quantiles_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched quantiles via deterministic md5-bucket sampling
+    (sketch.hash_sample_quantiles): the sample predicate depends only
+    on doc_id, so the estimator is partitioning-invariant and the
+    DuckDB oracle replays it verbatim — an oracle-able sketch."""
+    from pdfwf_spark.operators.sketch import hash_sample_quantiles
+    from pdfwf_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(
+        F.col("doc_id"), token_count(F.col("text")).alias("n")
+    )
+    return hash_sample_quantiles(n, "n", "doc_id", [0.5, 0.9, 0.99])
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (email / IPv4 / phone -> typed placeholders with
     per-category counts). The corpus has no PII, so a deterministic
@@ -921,6 +950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_band_pairs128": _q_simhash_band_pairs128,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "emb_neardup_exact": _q_emb_neardup_exact,
+        "corpus_quantiles_hist": _q_corpus_quantiles_hist,
+        "corpus_quantiles_sample": _q_corpus_quantiles_sample,
     }
 
 
@@ -1592,6 +1623,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(1000 * quantile_cont(n, 0.99)) AS BIGINT) AS p99_milli,
                    COUNT(*) AS n_docs
             FROM n
+        """,
+        # identical ordered statistics, different physical plan on the
+        # Spark side (value-histogram instead of sort) — same oracle
+        "corpus_quantiles_hist": rf"""
+            WITH n AS (
+              SELECT len(list_filter({_TOKS}, x -> x <> '')) AS n
+              FROM documents)
+            SELECT CAST(ROUND(1000 * quantile_cont(n, 0.5)) AS BIGINT) AS p50_milli,
+                   CAST(ROUND(1000 * quantile_cont(n, 0.9)) AS BIGINT) AS p90_milli,
+                   CAST(ROUND(1000 * quantile_cont(n, 0.99)) AS BIGINT) AS p99_milli,
+                   COUNT(*) AS n_rows
+            FROM n
+        """,
+        # deterministic md5-bucket sample (first 2 hex chars < 64 ==
+        # 25%) replayed verbatim — the oracle-able sketch
+        "corpus_quantiles_sample": rf"""
+            WITH n AS (
+              SELECT doc_id, len(list_filter({_TOKS}, x -> x <> '')) AS n
+              FROM documents),
+            f AS (
+              SELECT n,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::BIGINT < 64
+                       AS keep
+              FROM n)
+            SELECT CAST(ROUND(1000 * quantile_cont(CASE WHEN keep THEN n END, 0.5))
+                        AS BIGINT) AS p50_milli,
+                   CAST(ROUND(1000 * quantile_cont(CASE WHEN keep THEN n END, 0.9))
+                        AS BIGINT) AS p90_milli,
+                   CAST(ROUND(1000 * quantile_cont(CASE WHEN keep THEN n END, 0.99))
+                        AS BIGINT) AS p99_milli,
+                   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                   COUNT(*) AS n_rows
+            FROM f
         """,
         "pii_redact": f"""
             WITH docs2 AS (

@@ -1,0 +1,106 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdfwf_spark.operators.sketch import (
+    approx_quantiles_builtin,
+    hash_sample_quantiles,
+    histogram_quantiles,
+    mp_quantile_sketch,
+)
+
+QS = [0.5, 0.9, 0.99]
+
+
+@pytest.fixture(scope="module")
+def values_df(spark):
+    # deterministic skewed integer distribution (Zipf-ish token counts)
+    rng = np.random.RandomState(7)
+    vals = (rng.pareto(1.5, 20000) * 40 + 1).astype(int)
+    vals = np.clip(vals, 1, 5000)
+    return spark.createDataFrame(
+        [(int(i), int(v)) for i, v in enumerate(vals)], "id long, n long"
+    ).repartition(16)
+
+
+def _exact_milli(df, qs):
+    row = df.agg(
+        *[
+            F.round(1000 * F.expr(f"percentile(n, {q!r})")).cast("long").alias(f"q{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).collect()[0]
+    return [row[f"q{i}"] for i in range(len(qs))]
+
+
+def test_histogram_quantiles_exact(spark, values_df):
+    """Histogram path must equal the sort-based exact percentile bit-for-bit."""
+    got = histogram_quantiles(values_df, "n", QS).collect()[0]
+    want = _exact_milli(values_df, QS)
+    assert [got["p50_milli"], got["p90_milli"], got["p99_milli"]] == want
+    assert got["n_rows"] == values_df.count()
+
+
+def test_histogram_quantiles_interpolates(spark):
+    # even count forces the type-7 midpoint: median of [1,2,3,4] = 2.5
+    df = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]], "n long")
+    got = histogram_quantiles(df, "n", [0.5]).collect()[0]
+    assert got["p50_milli"] == 2500
+    assert got["n_rows"] == 4
+
+
+def test_histogram_quantiles_empty(spark):
+    df = spark.createDataFrame([], "n long")
+    got = histogram_quantiles(df, "n", QS).collect()[0]
+    assert got["n_rows"] == 0
+    assert got["p50_milli"] is None
+
+
+def test_hash_sample_quantiles_deterministic_and_close(spark, values_df):
+    a = hash_sample_quantiles(values_df, "n", "id", QS).collect()[0]
+    b = hash_sample_quantiles(values_df.repartition(3), "n", "id", QS).collect()[0]
+    # partitioning-invariant: identical output regardless of layout
+    assert a == b
+    assert 0 < a["n_sampled"] < a["n_rows"]
+    # 25% sample of 20k rows: p50 estimate within 10% of exact
+    exact = _exact_milli(values_df, [0.5])[0]
+    assert abs(a["p50_milli"] - exact) / exact < 0.10
+
+
+def test_mp_sketch_rank_error_bound(spark):
+    # uniform 1e5 rows over 32 partitions; pin <=2% rank error
+    n = 100_000
+    df = spark.range(n).select(
+        (F.col("id") * 48271 % n).cast("double").alias("v")
+    ).repartition(32)
+    res = mp_quantile_sketch(df, "v", QS, capacity=2048)
+    assert res["n"] == n
+    for q in QS:
+        est = res["quantiles"][q]
+        # value==rank for a permutation of 0..n-1
+        assert abs(est / (n - 1) - q) <= 0.02, (q, est)
+
+
+def test_mp_sketch_small_exact(spark):
+    # below capacity nothing compacts: weighted stats are the exact stats
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    res = mp_quantile_sketch(df, "v", [0.0, 0.5, 1.0], capacity=2048)
+    assert res["n"] == 100
+    assert res["quantiles"][0.0] == 0.0
+    assert res["quantiles"][1.0] == 99.0
+    assert abs(res["quantiles"][0.5] - 49.5) <= 1.0
+
+
+def test_mp_sketch_empty(spark):
+    df = spark.createDataFrame([], "v double")
+    res = mp_quantile_sketch(df, "v", QS)
+    assert res == {"n": 0, "quantiles": {q: None for q in QS}}
+
+
+def test_approx_builtin_close(spark, values_df):
+    got = approx_quantiles_builtin(values_df, "n", QS).collect()[0]
+    exact = _exact_milli(values_df, QS)
+    for k, e in zip(["p50_milli", "p90_milli", "p99_milli"], exact):
+        assert abs(got[k] - e) / max(e, 1) < 0.05
