@@ -115,3 +115,65 @@ def start_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_seen_state(
+    spark: SparkSession, out_dir: str, n_buckets: int = 16
+) -> dict:
+    """Compact the digest state table between stream runs.
+
+    Every epoch appends one small parquet file to {out_dir}/seen, so
+    after E epochs the per-batch anti-join scans E files and carries
+    one digest row per (digest, epoch) pair — replayed epochs and
+    long-lived streams inflate both. Compaction rewrites the table as
+    one deduplicated row per digest (earliest epoch wins, preserving
+    "first time this content was committed") hash-repartitioned on
+    digest into n_buckets files, so the follow-on runs' anti-joins
+    scan a bounded, digest-clustered file set.
+
+    Maintenance op for a STOPPED stream (call between
+    start_incremental_dedup runs): the final directory swap is not
+    atomic on a plain filesystem. The previous state is kept at
+    seen.pre-compact until the swap completes and is removed only on
+    success — a crash mid-swap leaves either the old or the new
+    directory recoverable by rename. On a production deployment the
+    state table is an Iceberg table (sinks/table.py gate) where this
+    is `rewrite_data_files` under snapshot isolation and the caveat
+    disappears.
+
+    Returns {"rows_before", "rows_after", "files_before",
+    "files_after"}.
+    """
+    import glob
+    import shutil
+
+    seen_path = os.path.join(out_dir, "seen")
+    tmp_path = os.path.join(out_dir, "seen.compacting")
+    bak_path = os.path.join(out_dir, "seen.pre-compact")
+    from pdfwf_spark.operators.lineage import read_or_empty
+
+    seen = read_or_empty(spark, seen_path, SEEN_SCHEMA)
+    files_before = len(glob.glob(os.path.join(seen_path, "*.parquet")))
+    rows_before = seen.count()
+    compacted = (
+        seen.groupBy("digest")
+        .agg(F.min("epoch").alias("epoch"))
+        .repartition(n_buckets, "digest")
+    )
+    for stale in (tmp_path, bak_path):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    compacted.write.mode("overwrite").parquet(tmp_path)
+    rows_after = spark.read.parquet(tmp_path).count()
+    if os.path.isdir(seen_path):
+        os.rename(seen_path, bak_path)
+    os.rename(tmp_path, seen_path)
+    if os.path.isdir(bak_path):
+        shutil.rmtree(bak_path)
+    files_after = len(glob.glob(os.path.join(seen_path, "*.parquet")))
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

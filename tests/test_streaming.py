@@ -359,3 +359,51 @@ def test_incremental_dedup_across_micro_batches(spark, tmp_path):
 
     seen = spark.read.parquet(f"{out}/seen")
     assert seen.select("digest").distinct().count() == 3
+
+
+def test_seen_state_compaction_preserves_dedup(spark, tmp_path):
+    """Compacting the digest table between runs must shrink it to one
+    row per digest in a bounded file set WITHOUT forgetting history:
+    re-ingesting already-seen content after compaction appends
+    nothing."""
+    from pdfwf_spark.streaming.dedup import (
+        compact_seen_state,
+        start_incremental_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+
+    # several one-file epochs -> several state appends, with a
+    # cross-epoch duplicate so (digest, epoch) rows exceed digests
+    for i, text in enumerate(["alpha", "beta", "alpha", "gamma"]):
+        spark.createDataFrame(
+            [(10 * i, text)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    q = start_incremental_dedup(spark, src, out, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    stats = compact_seen_state(spark, out, n_buckets=2)
+    assert stats["rows_after"] == 3  # distinct digests
+    assert stats["rows_after"] <= stats["rows_before"]
+    assert stats["files_after"] <= 2
+    seen = spark.read.parquet(f"{out}/seen")
+    assert seen.count() == 3
+    assert set(seen.columns) == {"digest", "epoch"}
+
+    # post-compaction run: replays + one genuinely new doc
+    spark.createDataFrame(
+        [(99, "alpha"), (100, "delta")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = start_incremental_dedup(spark, src, out, max_files_per_trigger=1)
+    q2.awaitTermination()
+
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()}
+    assert kept == {0, 10, 30, 100}  # alpha replay blocked, delta kept
+
+
+def test_seen_state_compaction_empty(spark, tmp_path):
+    from pdfwf_spark.streaming.dedup import compact_seen_state
+
+    stats = compact_seen_state(spark, str(tmp_path / "never_ran"), n_buckets=2)
+    assert stats["rows_before"] == 0 and stats["rows_after"] == 0
