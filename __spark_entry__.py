@@ -852,6 +852,76 @@ def _q_corpus_quantiles_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample_quantiles(n, "n", "doc_id", [0.5, 0.9, 0.99])
 
 
+def _q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concatenate-and-split discipline: documents
+    laid end to end per hash bucket, cut every 256 tokens — one
+    hash-partitioned window cumsum, no Python (packing.pack_concat).
+    The md5 bucket/order keys are replayed verbatim by the oracle."""
+    from pdfwf_spark.operators.packing import pack_concat
+    from pdfwf_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_concat(docs, budget=256, n_buckets=4)
+
+
+def _q_pack_greedy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit whole-document packing (packing.pack_greedy, the
+    applyInPandas custom-operator tier) summarized by pack_stats.
+    Boundary recursion isn't SQL-expressible, so this row is rows-only
+    for the driver; tests/test_packing_sampling.py pins the kernel
+    against a pure-Python next-fit twin."""
+    from pdfwf_spark.operators.packing import pack_greedy, pack_stats
+    from pdfwf_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_stats(pack_greedy(docs, budget=256, n_buckets=4), budget=256)
+
+
+def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (sampling.split_assign):
+    md5-bucket thresholds, no rand(), partitioning-invariant — the
+    oracle evaluates the identical integer cuts."""
+    from pdfwf_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_assign(docs, "doc_id").select("doc_id", "split")
+
+
+def _q_sample_cap_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap (sampling.cap_per_group): at most 40 docs per
+    source picked in deterministic hash order — the C4/RefinedWeb
+    per-domain cap as one window + filter (QUALIFY shape)."""
+    from pdfwf_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", 40, "doc_id").select("doc_id", "source")
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample (sampling.stratified_sample):
+    language-balancing keep fractions as md5 thresholds, zero shuffle."""
+    from pdfwf_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", {"en": 0.25, "es": 0.75}, "lang", default_fraction=1.0
+    ).select("doc_id", "lang")
+
+
+def _q_sample_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing weights targeting a 100-doc cap
+    (sampling.group_mix_weights) — the tiny table a weighted
+    dataloader or follow-on sample consumes."""
+    from pdfwf_spark.operators.sampling import group_mix_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_mix_weights(docs, "source", 100)
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (email / IPv4 / phone -> typed placeholders with
     per-category counts). The corpus has no PII, so a deterministic
@@ -952,6 +1022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_exact": _q_emb_neardup_exact,
         "corpus_quantiles_hist": _q_corpus_quantiles_hist,
         "corpus_quantiles_sample": _q_corpus_quantiles_sample,
+        "pack_concat": _q_pack_concat,
+        "pack_greedy_stats": _q_pack_greedy_stats,  # rows-only: next-fit recursion has no SQL twin
+        "sample_split": _q_sample_split,
+        "sample_cap_source": _q_sample_cap_source,
+        "sample_stratified": _q_sample_stratified,
+        "sample_mix_weights": _q_sample_mix_weights,
     }
 
 
@@ -965,7 +1041,13 @@ from pdfwf_spark.operators.dedup import (          # noqa: E402
     DEFAULT_MAX_BUCKET as _MAX_BUCKET,
     DEFAULT_MAX_SHINGLE_DF as _MAX_SHINGLE_DF,
 )
+from pdfwf_spark.operators.sampling import (  # noqa: E402
+    DEFAULT_SPLIT_WEIGHTS as _SPLIT_W,
+    split_cuts as _split_cuts,
+)
 from pdfwf_spark.operators.textstats import PII_RULES as _PII  # noqa: E402
+
+_SPLIT_CUTS = _split_cuts(_SPLIT_W)  # byte-identical thresholds for the oracle
 from pdfwf_spark.operators.textstats import (  # noqa: E402
     DOMAIN_PATTERN as _DOMAIN_PAT,
     URL_PATTERN as _URL_PAT,
@@ -1656,6 +1738,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
                    COUNT(*) AS n_rows
             FROM f
+        """,
+        # concat-and-split packing: the md5 bucket/order keys and the
+        # window cumsum replayed verbatim (packing.pack_concat)
+        "pack_concat": rf"""
+            WITH n AS (
+              SELECT doc_id, len(list_filter({_TOKS}, x -> x <> '')) AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id, n,
+                     (('0x' || substr(md5('b#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 4)::INT AS bucket,
+                     md5(doc_id::VARCHAR) AS ord
+              FROM n),
+            c AS (
+              SELECT doc_id, bucket, n,
+                     SUM(n) OVER (PARTITION BY bucket ORDER BY ord, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n AS off
+              FROM s)
+            SELECT doc_id, bucket,
+                   CAST(off // 256 AS BIGINT) AS seq_idx,
+                   CAST(off % 256 AS BIGINT) AS seq_offset,
+                   n
+            FROM c
+        """,
+        "sample_split": f"""
+            SELECT doc_id,
+                   CASE WHEN b < {_SPLIT_CUTS[0][1]} THEN '{_SPLIT_CUTS[0][0]}'
+                        WHEN b < {_SPLIT_CUTS[1][1]} THEN '{_SPLIT_CUTS[1][0]}'
+                        ELSE '{_SPLIT_CUTS[2][0]}' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5('split#' || doc_id::VARCHAR), 1, 8))::BIGINT AS b
+                  FROM documents)
+        """,
+        "sample_cap_source": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5('cap#' || doc_id::VARCHAR), 1, 8))::BIGINT,
+                                doc_id) AS rn
+              FROM documents) t
+            WHERE rn <= 40
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5('strat#' || doc_id::VARCHAR), 1, 8))::BIGINT AS b
+              FROM documents) t
+            WHERE b < CASE WHEN lang = 'en' THEN {int(0.25 * (1 << 32))}
+                           WHEN lang = 'es' THEN {int(0.75 * (1 << 32))}
+                           ELSE {1 << 32} END
+        """,
+        "sample_mix_weights": """
+            SELECT source, COUNT(*) AS n_rows,
+                   least(1000::BIGINT,
+                         CAST(floor(1000 * 100 / COUNT(*)) AS BIGINT)) AS weight_milli
+            FROM documents GROUP BY source
         """,
         "pii_redact": f"""
             WITH docs2 AS (

@@ -1,0 +1,195 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfwf_spark.operators.packing import pack_concat, pack_greedy, pack_stats
+from pdfwf_spark.operators.sampling import (
+    cap_per_group,
+    group_mix_weights,
+    split_assign,
+    stratified_sample,
+)
+
+BUDGET = 100
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    # lengths spanning tiny, typical, and over-budget
+    rows = [(i, (i * 37) % 150 + 1) for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _bucket_of(doc_id: int, n_buckets: int) -> int:
+    return int(_md5(f"b#{doc_id}")[:8], 16) % n_buckets
+
+
+def _order_of(doc_id: int) -> str:
+    return _md5(str(doc_id))
+
+
+def test_pack_concat_matches_python_reference(spark, docs_df):
+    got = {
+        r["doc_id"]: (r["bucket"], r["seq_idx"], r["seq_offset"])
+        for r in pack_concat(docs_df, BUDGET, n_buckets=4).collect()
+    }
+    rows = sorted(
+        [(r["doc_id"], r["n_tokens"]) for r in docs_df.collect()],
+        key=lambda t: (_bucket_of(t[0], 4), _order_of(t[0]), t[0]),
+    )
+    fills = {}
+    for doc_id, n in rows:
+        b = _bucket_of(doc_id, 4)
+        off = fills.get(b, 0)
+        assert got[doc_id] == (b, off // BUDGET, off % BUDGET), doc_id
+        fills[b] = off + n
+
+
+def test_pack_concat_partitioning_invariant(spark, docs_df):
+    a = sorted(map(tuple, pack_concat(docs_df, BUDGET).collect()))
+    b = sorted(map(tuple, pack_concat(docs_df.repartition(13), BUDGET).collect()))
+    assert a == b
+
+
+def test_pack_greedy_no_straddle_and_reference(spark, docs_df):
+    out = pack_greedy(docs_df, BUDGET, n_buckets=4).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # invariants: within budget unless truncated; truncated iff oversized
+    for r in out:
+        if r["truncated"]:
+            assert r["n"] > BUDGET and r["seq_offset"] == 0
+        else:
+            assert r["seq_offset"] + r["n"] <= BUDGET
+    # python next-fit twin
+    rows = sorted(
+        [(r["doc_id"], r["n_tokens"]) for r in docs_df.collect()],
+        key=lambda t: (_bucket_of(t[0], 4), _order_of(t[0]), t[0]),
+    )
+    state: dict[int, tuple[int, int]] = {}
+    for doc_id, n in rows:
+        b = _bucket_of(doc_id, 4)
+        seq, fill = state.get(b, (0, 0))
+        if n > BUDGET:
+            if fill > 0:
+                seq += 1
+            expect = (seq, 0, 1)
+            seq, fill = seq + 1, 0
+        else:
+            if fill + n > BUDGET:
+                seq, fill = seq + 1, 0
+            expect = (seq, fill, 0)
+            fill += n
+        state[b] = (seq, fill)
+        r = by_id[doc_id]
+        assert (r["seq_idx"], r["seq_offset"], r["truncated"]) == expect, doc_id
+
+
+def test_pack_greedy_sequences_dense(spark, docs_df):
+    out = pack_greedy(docs_df, BUDGET, n_buckets=2)
+    per_bucket = (
+        out.groupBy("bucket")
+        .agg(F.max("seq_idx").alias("mx"), F.count_distinct("seq_idx").alias("cnt"))
+        .collect()
+    )
+    for r in per_bucket:  # seq ids are 0..max with no gaps
+        assert r["cnt"] == r["mx"] + 1
+
+
+def test_pack_stats(spark, docs_df):
+    packed = pack_greedy(docs_df, BUDGET, n_buckets=4)
+    stats = pack_stats(packed, BUDGET).collect()[0]
+    assert stats["n_seqs"] > 0
+    assert 0 < stats["fill_per_mille"] <= 1000
+    assert stats["n_truncated"] == docs_df.filter(F.col("n_tokens") > BUDGET).count()
+
+
+def test_pack_budget_validation(spark, docs_df):
+    with pytest.raises(ValueError):
+        pack_concat(docs_df, 0)
+    with pytest.raises(ValueError):
+        pack_greedy(docs_df, -5)
+
+
+# ---------------------------------------------------------------- sampling
+
+
+@pytest.fixture(scope="module")
+def keyed_df(spark):
+    return spark.createDataFrame(
+        [(i, ["news", "web", "code"][i % 3]) for i in range(3000)],
+        "doc_id long, domain string",
+    )
+
+
+def test_split_assign_partitions_and_fractions(spark, keyed_df):
+    out = split_assign(keyed_df, "doc_id")
+    counts = {r["split"]: r["c"] for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert sum(counts.values()) == 3000
+    assert counts["train"] > 2800  # 98% nominal
+    assert set(counts) <= {"train", "val", "test"}
+    # deterministic under repartition
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, split_assign(keyed_df.repartition(7), "doc_id").collect()))
+    assert a == b
+
+
+def test_split_assign_python_twin(spark, keyed_df):
+    out = {r["doc_id"]: r["split"] for r in split_assign(keyed_df, "doc_id").collect()}
+    cut_train = int(0.98 * (1 << 32))
+    cut_val = int(0.99 * (1 << 32))
+    for i in range(0, 3000, 17):
+        b = int(_md5(f"split#{i}")[:8], 16)
+        want = "train" if b < cut_train else ("val" if b < cut_val else "test")
+        assert out[i] == want, i
+
+
+def test_split_assign_validation(spark, keyed_df):
+    with pytest.raises(ValueError):
+        split_assign(keyed_df, "doc_id", {"a": -1.0})
+    with pytest.raises(ValueError):
+        split_assign(keyed_df, "doc_id", {"a": 0.0})
+
+
+def test_stratified_sample_fractions_and_nesting(spark, keyed_df):
+    full = stratified_sample(keyed_df, "doc_id", {"news": 1.0}, "domain")
+    assert full.count() == 1000  # all news, nothing else (default 0)
+    assert {r["domain"] for r in full.collect()} == {"news"}
+    small = stratified_sample(keyed_df, "doc_id", {"news": 0.1, "web": 0.5}, "domain")
+    big = stratified_sample(keyed_df, "doc_id", {"news": 0.4, "web": 0.9}, "domain")
+    small_ids = {r["doc_id"] for r in small.collect()}
+    big_ids = {r["doc_id"] for r in big.collect()}
+    assert small_ids <= big_ids  # same salt -> monotone nesting
+    n_news = len([i for i in small_ids if i % 3 == 0])
+    assert 50 <= n_news <= 200  # ~10% of 1000
+
+
+def test_cap_per_group(spark, keyed_df):
+    capped = cap_per_group(keyed_df, "domain", 25, "doc_id")
+    counts = [r["c"] for r in capped.groupBy("domain").agg(F.count("*").alias("c")).collect()]
+    assert counts == [25, 25, 25]
+    # deterministic pick
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in cap_per_group(keyed_df.repartition(11), "domain", 25, "doc_id").collect()
+    )
+    assert a == b
+    # under-cap group keeps everything
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, domain string")
+    assert cap_per_group(tiny, "domain", 25, "doc_id").count() == 2
+
+
+def test_group_mix_weights(spark, keyed_df):
+    w = {r["domain"]: r for r in group_mix_weights(keyed_df, "domain", 250).collect()}
+    for d in ("news", "web", "code"):
+        assert w[d]["n_rows"] == 1000
+        assert w[d]["weight_milli"] == 250  # floor(1000*250/1000)
+    few = spark.createDataFrame([(1, "x")], "doc_id long, domain string")
+    assert group_mix_weights(few, "domain", 250).collect()[0]["weight_milli"] == 1000
