@@ -922,6 +922,32 @@ def _q_sample_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_mix_weights(docs, "source", 100)
 
 
+def _q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (textstats.top_ngrams): one
+    map-side-combined count over exploded 2-grams, global top-k as
+    TakeOrderedAndProject; ties total-ordered by ngram string so the
+    k-th boundary is deterministic."""
+    from pdfwf_spark.operators.textstats import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def _q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cp1252-double-encoding repair (functions.fix_mojibake_col,
+    pinned ordered literal table — core.normalize.MOJIBAKE_MAP). The
+    corpus is clean ASCII, so a sample containing every artifact is
+    appended per doc with the identical expression in the oracle."""
+    from pdfwf_spark.core.normalize import MOJIBAKE_MAP
+    from pdfwf_spark.operators.functions import fix_mojibake_col
+
+    sample = " " + " ".join(bad for bad, _ in MOJIBAKE_MAP)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fix_mojibake_col(F.concat(F.col("text"), F.lit(sample))).alias("fixed_text"),
+    )
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (email / IPv4 / phone -> typed placeholders with
     per-category counts). The corpus has no PII, so a deterministic
@@ -1028,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_cap_source": _q_sample_cap_source,
         "sample_stratified": _q_sample_stratified,
         "sample_mix_weights": _q_sample_mix_weights,
+        "text_top_bigrams": _q_text_top_bigrams,
+        "text_fix_mojibake": _q_text_fix_mojibake,
     }
 
 
@@ -1048,6 +1076,15 @@ from pdfwf_spark.operators.sampling import (  # noqa: E402
 from pdfwf_spark.operators.textstats import PII_RULES as _PII  # noqa: E402
 
 _SPLIT_CUTS = _split_cuts(_SPLIT_W)  # byte-identical thresholds for the oracle
+
+# mojibake oracle: the same ordered literal replace chain over
+# text + a sample containing every MOJIBAKE_MAP artifact once
+from pdfwf_spark.core.normalize import MOJIBAKE_MAP as _MOJI  # noqa: E402
+
+_MOJI_SAMPLE = " " + " ".join(bad for bad, _ in _MOJI)
+_MOJI_EXPR = f"text || ' {_MOJI_SAMPLE[1:]}'"
+for _bad, _good in _MOJI:
+    _MOJI_EXPR = f"replace({_MOJI_EXPR}, '{_bad}', '{_good}')"
 from pdfwf_spark.operators.textstats import (  # noqa: E402
     DOMAIN_PATTERN as _DOMAIN_PAT,
     URL_PATTERN as _URL_PAT,
@@ -1796,6 +1833,23 @@ def oracle_sql() -> dict[str, str]:
                    least(1000::BIGINT,
                          CAST(floor(1000 * 100 / COUNT(*)) AS BIGINT)) AS weight_milli
             FROM documents GROUP BY source
+        """,
+        "text_top_bigrams": rf"""
+            WITH toks AS (
+              SELECT list_filter({_TOKS}, x -> x <> '') AS t FROM documents),
+            g AS (
+              SELECT unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i+1])) AS ngram
+              FROM toks WHERE len(t) >= 2)
+            SELECT ngram, COUNT(*) AS n
+            FROM g GROUP BY ngram
+            ORDER BY n DESC, ngram
+            LIMIT 20
+        """,
+        # identical ordered literal replace chain (MOJIBAKE_MAP) over
+        # text + a sample holding every artifact once
+        "text_fix_mojibake": f"""
+            SELECT doc_id, {_MOJI_EXPR} AS fixed_text FROM documents
         """,
         "pii_redact": f"""
             WITH docs2 AS (

@@ -123,3 +123,36 @@ def markdown_compatible(text: str) -> str:
     s = s.replace("\\. ", ". ")
     s = MD_URL_RE.sub(r"\1[\2](\2)", s)
     return s
+
+
+# Mojibake repair: UTF-8 text mis-decoded as cp1252 and re-encoded
+# ("Ã©" for "é", "â€™" for "'") is the single most common encoding
+# damage in web-crawled corpora (the repair ftfy automates). This is a
+# PINNED literal substitution table, not a general decoder: ordered
+# literal replacements work identically in Python, Spark `replace`,
+# and DuckDB `replace`, so the operator is oracle-able. Entries avoid
+# C0/C1 control bytes and NBSP so every literal survives source files,
+# SQL strings, and parquet round-trips unchanged. Three-byte artifacts
+# are listed before two-byte ones that could prefix-overlap.
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),  # â€™ -> ’
+    ("â€œ", "“"),  # â€œ -> “
+    ("â€”", "—"),  # â€” -> — (em dash)
+    ("â€“", "–"),  # â€“ -> – (en dash)
+    ("â€¦", "…"),  # â€¦ -> …
+    ("Ã©", "é"),        # Ã© -> é
+    ("Ã¨", "è"),        # Ã¨ -> è
+    ("Ã¼", "ü"),        # Ã¼ -> ü
+    ("Ã¶", "ö"),        # Ã¶ -> ö
+    ("Ã±", "ñ"),        # Ã± -> ñ
+    ("Â«", "«"),        # Â« -> «
+    ("Â»", "»"),        # Â» -> »
+    ("Â°", "°"),        # Â° -> °
+)
+
+
+def fix_mojibake(text: str) -> str:
+    """Apply the pinned cp1252-double-encoding repairs in order."""
+    for bad, good in MOJIBAKE_MAP:
+        text = text.replace(bad, good)
+    return text

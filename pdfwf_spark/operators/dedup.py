@@ -93,8 +93,8 @@ def tokens(text_col: Column) -> Column:
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
-def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string>.
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """ALL word n-grams (with multiplicity) as array<string>.
 
     Built from n array `slice`s folded with `zip_with` — NOT
     element_at(toks, i) inside a transform lambda: Catalyst's
@@ -109,9 +109,15 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     for j in range(1, n):
         nxt = F.slice(toks, j + 1, safe_len)
         grams = F.zip_with(grams, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(n_sh > 0, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.when(n_sh > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> (word_ngrams +
+    array_distinct — dedup cares about shingle SETS)."""
+    return F.when(
+        F.size(toks) - (n - 1) > 0, F.array_distinct(word_ngrams(toks, n))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exploded_shingles(

@@ -120,3 +120,16 @@ def markdown_compatible_col(c: Column) -> Column:
     return F.regexp_replace(
         c, rf"(^|[{WS_CLASS}])(https?://[^{WS_CLASS}<>)\]\"']+)", "$1[$2]($2)"
     )
+
+
+def fix_mojibake_col(c: Column) -> Column:
+    """JVM-side twin of core.normalize.fix_mojibake: the pinned
+    cp1252-double-encoding repair table applied as ordered literal
+    `replace` calls (whole-stage-codegen'd; literal replace has no
+    regex-engine divergence to pin, so the DuckDB twin is the same
+    chain verbatim)."""
+    from pdfwf_spark.core.normalize import MOJIBAKE_MAP
+
+    for bad, good in MOJIBAKE_MAP:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c

@@ -329,3 +329,29 @@ def domain_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count — the
+    frequency table behind stopword lists, boilerplate detection, and
+    n-gram LM contamination checks.
+
+    explode(all n-grams) -> one count aggregate (map-side combine: the
+    shuffle carries one row per DISTINCT n-gram, not per occurrence)
+    -> global top-k as TakeOrderedAndProject (each partition keeps k,
+    the driver merges partition heads — no full sort). Ties break by
+    n-gram string ascending, so the k-th boundary is total-ordered and
+    the result set is deterministic.
+    """
+    from pdfwf_spark.operators.dedup import tokens, word_ngrams
+
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    grams = docs.select(F.explode(word_ngrams(toks, n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(k)
+    )

@@ -553,3 +553,51 @@ def test_domain_counts(spark):
     assert out["a.example.com"] == (3, 2)       # case-folded, 2 distinct docs
     assert out["other.net"] == (1, 1)
     assert set(out) == {"a.example.com", "other.net"}
+
+
+def test_top_ngrams_python_twin(spark):
+    from collections import Counter
+
+    from pdfwf_spark.operators.textstats import top_ngrams
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a cat sat on a mat",
+        "",
+        "   ",
+        "single",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [(r["ngram"], r["n"]) for r in top_ngrams(docs, n=2, k=4).collect()]
+    counts = Counter()
+    for t in texts:
+        toks = [x for x in t.strip().lower().split() if x]
+        for a, b in zip(toks, toks[1:]):
+            counts[f"{a} {b}"] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert got == want
+
+
+def test_fix_mojibake_twins_agree(spark):
+    from pdfwf_spark.core.normalize import MOJIBAKE_MAP, fix_mojibake
+    from pdfwf_spark.operators.functions import fix_mojibake_col
+    from pyspark.sql import functions as F
+
+    samples = [
+        "itâ€™s â€œfineâ€“ishâ€ť no wait",      # mixed artifacts + untouched bytes
+        " ".join(bad for bad, _ in MOJIBAKE_MAP),  # every artifact once
+        "clean ascii only",
+        "already fixed ’ “ — é",                   # repaired text is a fixpoint
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r["f"] for r in df.select(fix_mojibake_col(F.col("t")).alias("f")).collect()]
+    assert got == [fix_mojibake(s) for s in samples]
+    # repair is idempotent: outputs contain no remaining artifact keys
+    for out in got:
+        for bad, _ in MOJIBAKE_MAP:
+            assert bad not in out
+    assert fix_mojibake(samples[3]) == samples[3]
