@@ -948,6 +948,25 @@ def _q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency table (textstats.term_doc_freq):
+    distinct tokens per doc exploded into one map-side-combined count —
+    the float-free core of tf-idf and rare-term filters."""
+    from pdfwf_spark.operators.textstats import term_doc_freq
+
+    return term_doc_freq(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 distinguishing terms
+    (textstats.top_terms_per_doc): integer tf-idf skeleton — rank by
+    (tf DESC, df ASC, token ASC) after a corpus-stopword df cut; the
+    vocabulary-sized df table broadcasts into the join."""
+    from pdfwf_spark.operators.textstats import top_terms_per_doc
+
+    return top_terms_per_doc(_t(spark, sf_dir, "documents"), k=5)
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (email / IPv4 / phone -> typed placeholders with
     per-category counts). The corpus has no PII, so a deterministic
@@ -1056,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix_weights": _q_sample_mix_weights,
         "text_top_bigrams": _q_text_top_bigrams,
         "text_fix_mojibake": _q_text_fix_mojibake,
+        "text_term_df": _q_text_term_df,
+        "text_top_terms": _q_text_top_terms,
     }
 
 
@@ -1845,6 +1866,33 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY ngram
             ORDER BY n DESC, ngram
             LIMIT 20
+        """,
+        "text_term_df": rf"""
+            WITH toks AS (
+              SELECT list_distinct(list_filter({_TOKS}, x -> x <> '')) AS t
+              FROM documents),
+            e AS (SELECT unnest(t) AS token FROM toks)
+            SELECT token, COUNT(*) AS df,
+                   (SELECT COUNT(*) FROM documents) AS n_docs
+            FROM e GROUP BY token
+        """,
+        "text_top_terms": rf"""
+            WITH toks AS (
+              SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t
+              FROM documents),
+            pairs AS (SELECT doc_id, unnest(t) AS token FROM toks),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM pairs GROUP BY doc_id, token),
+            dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            keep AS (SELECT token, df FROM dfq, nd WHERE df * 1000 <= 500 * n),
+            ranked AS (
+              SELECT tf.doc_id, tf.token, tf.tf, keep.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, keep.df ASC, tf.token ASC) AS rank
+              FROM tf JOIN keep USING (token))
+            SELECT doc_id, token, tf, df, rank FROM ranked WHERE rank <= 5
         """,
         # identical ordered literal replace chain (MOJIBAKE_MAP) over
         # text + a sample holding every artifact once

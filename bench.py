@@ -67,6 +67,13 @@ HEADLINE = [
     "curate_full",
     "j_multiway_topk",
     "corpus_quantiles",
+    "corpus_quantiles_hist",
+    "pack_concat",
+    "pack_greedy_stats",
+    "sample_split",
+    "sample_cap_source",
+    "text_top_bigrams",
+    "text_fix_mojibake",
     "text_clf_score",
     "web_domain_counts",
     "text_quality",

@@ -355,3 +355,71 @@ def top_ngrams(
         .orderBy(F.col("n").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def term_doc_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus document-frequency table: (token, df, n_docs) — the
+    integer core of tf-idf / rare-term filters. df counts DOCUMENTS
+    containing the token (explode distinct tokens per doc -> one
+    map-side-combined count; the shuffle carries one row per distinct
+    (token) after per-partition combine). idf itself is left to the
+    consumer (log(n_docs/df)) so this table stays float-free and
+    bit-stable across engines.
+    """
+    toks = F.array_distinct(
+        F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    )
+    n_docs = docs.count()
+    exploded = docs.select(F.explode(toks).alias("token"))
+    return exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.lit(n_docs).cast("long").alias("n_docs"),
+    )
+
+
+def top_terms_per_doc(
+    docs: DataFrame,
+    k: int = 5,
+    max_df_ratio_milli: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k distinguishing terms, tf-idf-style but fully
+    integer so the ranking is engine-exact: rank by (tf DESC, df ASC,
+    token ASC) after dropping corpus-stopwords (df > max_df_ratio_milli
+    per-mille of docs). The (tf DESC, df ASC) order is the integer
+    skeleton of tf*idf — highest term frequency first, rarest term
+    breaking ties — with the token string as total-order tiebreak.
+
+    Plan: explode (doc, token) pairs -> per-(doc, token) tf count ->
+    broadcast-join the (small, stopword-filtered) df table -> one
+    row_number window per doc. Both aggregates combine map-side; the
+    df table after the ratio cut is vocabulary-sized, so the join
+    broadcasts.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    pairs = docs.select(
+        F.col(id_col), F.explode(toks).alias("token")
+    )
+    tf = pairs.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # df re-derived from tf (one doc-distinct row per (doc, token)
+    # already exists there) — no second corpus scan
+    n_docs = docs.count()
+    keep = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") * 1000 <= F.lit(max_df_ratio_milli) * max(n_docs, 1))
+    )
+    from pyspark.sql import Window
+
+    scored = tf.join(F.broadcast(keep), "token")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "rank")
+    )

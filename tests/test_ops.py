@@ -601,3 +601,43 @@ def test_fix_mojibake_twins_agree(spark):
         for bad, _ in MOJIBAKE_MAP:
             assert bad not in out
     assert fix_mojibake(samples[3]) == samples[3]
+
+
+def test_term_doc_freq_and_top_terms(spark):
+    from pdfwf_spark.operators.textstats import term_doc_freq, top_terms_per_doc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry"),
+            (3, "apple date"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    dfq = {r["token"]: r["df"] for r in term_doc_freq(docs).collect()}
+    assert dfq == {"apple": 2, "banana": 2, "cherry": 2, "date": 1}
+    # every token's df <= 50% of 4 docs = 2, so nothing is cut here
+    top = top_terms_per_doc(docs, k=2)
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["df"])
+        for r in top.collect()
+    }
+    # doc 1: apple tf=2 first; then cherry/banana tie tf=1 df=2 -> banana by token asc
+    assert got[(1, 1)] == ("apple", 2, 2)
+    assert got[(1, 2)] == ("banana", 1, 2)
+    # doc 3: tie tf=1; date df=1 beats apple df=2
+    assert got[(3, 1)] == ("date", 1, 1)
+    assert got[(3, 2)] == ("apple", 1, 2)
+    assert (4, 1) not in got  # empty doc has no terms
+
+
+def test_top_terms_stopword_cut(spark):
+    from pdfwf_spark.operators.textstats import top_terms_per_doc
+
+    # 'the' appears in all 3 docs (df ratio 1000 > 500) -> cut everywhere
+    docs = spark.createDataFrame(
+        [(1, "the x"), (2, "the y"), (3, "the z")], "doc_id long, text string"
+    )
+    toks = {r["token"] for r in top_terms_per_doc(docs, k=5).collect()}
+    assert toks == {"x", "y", "z"}
