@@ -948,6 +948,19 @@ def _q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized Lloyd's k-means over the embeddings table
+    (similarity.kmeans_cluster): IVF centroid refinement, bit-stable
+    under any partitioning because all numerics are exact int64.
+    Iterative multi-job algorithm — no SQL twin; rows-only for the
+    driver, with exact pure-Python-twin equality pinned in pytest."""
+    from pdfwf_spark.operators.similarity import kmeans_cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_cluster(emb, k=8, iters=3)
+    return assigned
+
+
 def _q_text_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus document-frequency table (textstats.term_doc_freq):
     distinct tokens per doc exploded into one map-side-combined count —
@@ -1077,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fix_mojibake": _q_text_fix_mojibake,
         "text_term_df": _q_text_term_df,
         "text_top_terms": _q_text_top_terms,
+        "emb_kmeans": _q_emb_kmeans,  # rows-only: iterative, no SQL twin
     }
 
 

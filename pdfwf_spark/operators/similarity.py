@@ -390,3 +390,95 @@ def bucketed_neardup_pairs(
         .filter(F.col("cos_milli") >= threshold_milli)
         .select("id_a", "id_b", "cos_milli")
     )
+
+
+def kmeans_cluster(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[int]]]:
+    """Integer-quantized Lloyd's k-means — the centroid refinement step
+    an IVF index runs offline (ivf_assign's id<k seeding is its init).
+
+    Everything numeric is exact int64 so the algorithm is bit-stable
+    under any partitioning (float partial sums are not associative;
+    integer sums are): vectors quantize to milli ints once, assignment
+    is argmin of integer squared-L2 (ties -> lowest cluster id), and
+    the update is floor-div of integer per-dimension sums. Per
+    iteration: one broadcast argmin over k literal centroid arrays
+    (zero shuffle of the corpus beyond the posexplode aggregate) + one
+    (cluster, dim)-keyed sum whose result is k x dim rows — collected
+    to the driver, floor-divided, and re-broadcast as literals. Empty
+    clusters keep their previous centroid. At 100 TB the per-iter
+    shuffle carries only map-side-combined (cluster, dim) partials.
+
+    Returns (assignment DF (id_col, cluster, dist), final centroids as
+    k milli-int lists). tests/test_ops.py pins exact equality against
+    a pure-Python/numpy twin.
+    """
+    if k <= 0 or iters < 0:
+        raise ValueError(f"need k > 0, iters >= 0; got k={k}, iters={iters}")
+    q = emb.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(1000 * x.cast("double")).cast("long")
+        ).alias("_vm"),
+    ).localCheckpoint(eager=False)
+
+    init_rows = (
+        q.filter(F.col(id_col) < k).orderBy(id_col).select(id_col, "_vm").collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"kmeans_cluster seeds centroids from ids 0..{k - 1}; "
+            f"found only {len(init_rows)}"
+        )
+    cents = [list(r["_vm"]) for r in init_rows]
+
+    def assigned() -> DataFrame:
+        entries = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_vm"),
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(j).alias("cluster"),
+            )
+            for j, c in enumerate(cents)
+        ]
+        best = F.sort_array(F.array(*entries))[0]
+        return q.select(
+            F.col(id_col),
+            best["cluster"].alias("cluster"),
+            best["dist"].alias("dist"),
+        )
+
+    for _ in range(iters):
+        a = assigned()
+        sums = (
+            a.join(q, id_col)
+            .select("cluster", F.posexplode("_vm").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cluster keeps old
+        by_cluster: dict[int, list] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], []).append(r)
+        for cl, rows in by_cluster.items():
+            vec = new_cents[cl]
+            for r in rows:
+                # python floor division: exact, negative-safe, and
+                # reproduced verbatim by the pytest twin
+                vec[r["pos"]] = r["s"] // r["c"]
+        cents = new_cents
+
+    return assigned(), cents

@@ -641,3 +641,69 @@ def test_top_terms_stopword_cut(spark):
     )
     toks = {r["token"] for r in top_terms_per_doc(docs, k=5).collect()}
     assert toks == {"x", "y", "z"}
+
+
+def test_kmeans_integer_twin_exact(spark):
+    import numpy as np
+
+    from pdfwf_spark.operators.similarity import kmeans_cluster
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 5).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    ).repartition(7)
+
+    k, iters = 4, 3
+    a_df, cents = kmeans_cluster(emb, k=k, iters=iters)
+    got = {r["vec_id"]: (r["cluster"], r["dist"]) for r in a_df.collect()}
+
+    # pure-python twin with identical integer arithmetic
+    vm = np.round(1000 * vecs.astype("float64")).astype(np.int64)
+    c = [vm[j].tolist() for j in range(k)]
+    for _ in range(iters):
+        assign = []
+        for i in range(60):
+            dists = [
+                (int(((vm[i] - np.array(cj, dtype=np.int64)) ** 2).sum()), j)
+                for j, cj in enumerate(c)
+            ]
+            assign.append(min(dists)[1])
+        nc = [list(cj) for cj in c]
+        for j in range(k):
+            members = [i for i in range(60) if assign[i] == j]
+            if members:
+                s = vm[members].sum(axis=0)
+                nc[j] = [int(s[d]) // len(members) for d in range(5)]
+        c = nc
+    want = {}
+    for i in range(60):
+        dists = [
+            (int(((vm[i] - np.array(cj, dtype=np.int64)) ** 2).sum()), j)
+            for j, cj in enumerate(c)
+        ]
+        d, j = min(dists)
+        want[i] = (j, d)
+    assert got == want
+    assert cents == c
+
+
+def test_kmeans_inertia_non_increasing(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdfwf_spark.operators.similarity import kmeans_cluster
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(80, 4).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    inertias = []
+    for iters in (0, 1, 3):
+        a_df, _ = kmeans_cluster(emb, k=3, iters=iters)
+        inertias.append(a_df.agg(F.sum("dist")).collect()[0][0])
+    assert inertias[1] <= inertias[0]
+    assert inertias[2] <= inertias[1]
