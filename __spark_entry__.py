@@ -948,6 +948,27 @@ def _q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget truncation (textstats.truncate_tokens): first 64
+    tokens re-joined single-spaced + was_truncated/n_tokens_kept —
+    pure per-row array expressions, zero shuffle."""
+    from pdfwf_spark.operators.textstats import truncate_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return truncate_tokens(docs, 64).select(
+        "doc_id", "truncated_text", "was_truncated", "n_tokens_kept"
+    )
+
+
+def _q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shape report (textstats.length_histogram): power-of-2
+    token-count buckets, one map-side-combined count whose shuffle
+    carries at most ~60 rows."""
+    from pdfwf_spark.operators.textstats import length_histogram
+
+    return length_histogram(_t(spark, sf_dir, "documents"))
+
+
 def _q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized Lloyd's k-means over the embeddings table
     (similarity.kmeans_cluster): IVF centroid refinement, bit-stable
@@ -1091,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_term_df": _q_text_term_df,
         "text_top_terms": _q_text_top_terms,
         "emb_kmeans": _q_emb_kmeans,  # rows-only: iterative, no SQL twin
+        "text_truncate": _q_text_truncate,
+        "text_length_histogram": _q_text_length_histogram,
     }
 
 
@@ -1907,6 +1930,26 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY tf.tf DESC, keep.df ASC, tf.token ASC) AS rank
               FROM tf JOIN keep USING (token))
             SELECT doc_id, token, tf, df, rank FROM ranked WHERE rank <= 5
+        """,
+        "text_truncate": rf"""
+            WITH t AS (
+              SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   array_to_string(list_slice(toks, 1, 64), ' ') AS truncated_text,
+                   (len(toks) > 64)::INT AS was_truncated,
+                   least(len(toks), 64) AS n_tokens_kept
+            FROM t
+        """,
+        "text_length_histogram": rf"""
+            WITH n AS (
+              SELECT len(list_filter({_TOKS}, x -> x <> '')) AS n
+              FROM documents)
+            SELECT CASE WHEN n <= 0 THEN 0
+                        ELSE CAST(power(2, floor(log2(n))) AS BIGINT)
+                   END AS bucket_lo,
+                   COUNT(*) AS n_docs
+            FROM n GROUP BY 1
         """,
         # identical ordered literal replace chain (MOJIBAKE_MAP) over
         # text + a sample holding every artifact once

@@ -423,3 +423,49 @@ def top_terms_per_doc(
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "tf", "df", "rank")
     )
+
+
+def truncate_tokens(
+    docs: DataFrame, max_tokens: int, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc token-budget truncation (the max-sequence-length
+    preprocessing step): keep the first `max_tokens` whitespace tokens,
+    re-joined single-spaced; adds was_truncated (int 0/1) and
+    n_tokens_kept. Pure per-row array expressions — codegen, zero
+    shuffle. Note the output is whitespace-NORMALIZED by construction
+    (split + join), which is what sequence packers downstream expect.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    n = F.size(toks)
+    kept = F.slice(toks, 1, max_tokens)
+    return docs.withColumn(
+        "truncated_text", F.array_join(kept, " ")
+    ).withColumn(
+        "was_truncated", (n > max_tokens).cast("int")
+    ).withColumn(
+        "n_tokens_kept", F.least(n, F.lit(max_tokens)).cast("long")
+    )
+
+
+def length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus length histogram over power-of-2 token-count buckets:
+    (bucket_lo, n_docs) where bucket_lo = 2^floor(log2(n_tokens)), and
+    0 for empty docs. The standard corpus-shape report; one map-side-
+    combined count whose shuffle carries ~60 rows max (int64 has 63
+    usable octaves). Integer bucket edges — no float log in the
+    output, so the oracle matches exactly."""
+    n = F.size(F.filter(tokens(F.col(text_col)), lambda x: x != ""))
+    # 2^floor(log2(n)) via bit_length: for n>0, floor(log2(n)) =
+    # bit_length(n)-1. Spark has no bit_length-for-int; use
+    # floor(log2()) on double — exact for n < 2^53, and n is a token
+    # count (< 2^31), so the double path introduces no error.
+    bucket = F.when(n <= 0, F.lit(0)).otherwise(
+        F.pow(F.lit(2.0), F.floor(F.log2(n.cast("double")))).cast("long")
+    )
+    return (
+        docs.select(bucket.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -707,3 +707,32 @@ def test_kmeans_inertia_non_increasing(spark):
         inertias.append(a_df.agg(F.sum("dist")).collect()[0][0])
     assert inertias[1] <= inertias[0]
     assert inertias[2] <= inertias[1]
+
+
+def test_truncate_tokens(spark):
+    from pdfwf_spark.operators.textstats import truncate_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a  b\tc\nd e"), (2, "x y"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["truncated_text"], r["was_truncated"], r["n_tokens_kept"])
+        for r in truncate_tokens(docs, 3).collect()
+    }
+    assert got[1] == ("a b c", 1, 3)   # ws-normalized, cut at 3
+    assert got[2] == ("x y", 0, 2)
+    assert got[3] == ("", 0, 0)
+    assert got[4] == ("", 0, 0)
+
+
+def test_length_histogram(spark):
+    from pdfwf_spark.operators.textstats import length_histogram
+
+    texts = ["", "one", "one two", "a b c", "1 2 3 4 5 6 7 8 9"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["bucket_lo"]: r["n_docs"] for r in length_histogram(docs).collect()}
+    # lengths 0,1,2,3,9 -> buckets 0,1,2,2,8
+    assert got == {0: 1, 1: 1, 2: 2, 8: 1}
