@@ -193,3 +193,13 @@ def test_group_mix_weights(spark, keyed_df):
         assert w[d]["weight_milli"] == 250  # floor(1000*250/1000)
     few = spark.createDataFrame([(1, "x")], "doc_id long, domain string")
     assert group_mix_weights(few, "domain", 250).collect()[0]["weight_milli"] == 1000
+
+
+def test_pack_stats_concat_branch(spark, docs_df):
+    # concat output has no 'truncated' column -> literal-0 agg branch
+    from pdfwf_spark.operators.packing import pack_concat, pack_stats
+
+    stats = pack_stats(pack_concat(docs_df, BUDGET, n_buckets=4), BUDGET).collect()[0]
+    assert stats["n_seqs"] > 0
+    assert stats["n_truncated"] == 0
+    assert 0 < stats["fill_per_mille"] <= 1000
