@@ -693,6 +693,28 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs, pairs)
 
 
+def _q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-based keeper election (dedup.cluster_keepers_by_score):
+    production curation keeps the BEST doc per duplicate cluster, not
+    the min-id one — here longest-by-token-count with id tiebreak,
+    one join + one per-cluster row_number window on top of the same
+    verified-pair components as dedup_clusters."""
+    from pdfwf_spark.operators.dedup import (
+        cluster_keepers_by_score,
+        dup_clusters,
+        lsh_verified_neardups,
+    )
+    from pdfwf_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_verified_neardups(docs, threshold=0.01)
+    clusters = dup_clusters(docs, pairs)
+    scores = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("score")
+    )
+    return cluster_keepers_by_score(clusters, scores)
+
+
 def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same component semantics as dedup_clusters, computed by the
     O(log n)-round large-star/small-star alternation instead of
@@ -1114,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": _q_emb_kmeans,  # rows-only: iterative, no SQL twin
         "text_truncate": _q_text_truncate,
         "text_length_histogram": _q_text_length_histogram,
+        "dedup_keep_longest": _q_dedup_keep_longest,
     }
 
 
@@ -1608,6 +1631,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, MIN(r) AS cluster_id,
                    CAST(CASE WHEN MIN(r) = id THEN 1 ELSE 0 END AS INT) AS is_keeper
             FROM reach GROUP BY id
+        """,
+        # same components as dedup_clusters, keeper re-elected by
+        # (token-count DESC, id ASC) — the score-based keeper policy
+        "dedup_keep_longest": f"""
+            WITH RECURSIVE
+            sigs AS ({_MINHASH_SIG_SQL}),
+            bands0 AS (
+              SELECT doc_id, 0 AS band,
+                     md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS bucket FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs),
+            bands AS (SELECT * FROM bands0
+                      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket)
+                              <= {_MAX_BUCKET}),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            sh AS ({_SHINGLES}),
+            counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS inter
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+              GROUP BY c.id_a, c.id_b),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN counts ca ON ca.doc_id = id_a
+              JOIN counts cb ON cb.doc_id = id_b
+              WHERE CAST(ROUND(1000.0 * inter / (ca.n_sh + cb.n_sh - inter)) AS INT) >= 10),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.b, reach.r FROM edges e JOIN reach ON reach.id = e.a),
+            cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+            sc AS (SELECT doc_id,
+                          len(list_filter({_TOKS}, x -> x <> '')) AS score
+                   FROM documents)
+            SELECT cl.doc_id, cl.cluster_id, sc.score,
+                   CAST(CASE WHEN row_number() OVER (
+                          PARTITION BY cl.cluster_id
+                          ORDER BY sc.score DESC, cl.doc_id) = 1
+                        THEN 1 ELSE 0 END AS INT) AS is_keeper
+            FROM cl JOIN sc USING (doc_id)
         """,
         # full modern curation pipeline: near-dup cluster keepers ->
         # top-2-gram repetition floor -> PII chain -> quality/lang

@@ -754,3 +754,37 @@ def dup_clusters_star(
             .cast("int").alias("is_keeper"),
         )
     )
+
+
+def cluster_keepers_by_score(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Re-pick each duplicate cluster's keeper by a quality signal.
+
+    dup_clusters/dup_clusters_star keep the MIN-id doc per cluster —
+    deterministic but arbitrary. Production curation keeps the BEST
+    doc (longest, highest quality score, most recent crawl); this
+    operator joins the cluster assignment with any per-doc score and
+    re-elects keepers by (score DESC, id ASC) — the id tiebreak keeps
+    the election total-ordered. One join + one row_number window per
+    cluster; the shuffle partitions by cluster_id, and cluster sizes
+    are bounded by the upstream hot-bucket caps, so no skew surprises.
+
+    Output: (id_col, cluster_id, score, is_keeper int).
+    """
+    from pyspark.sql import Window
+
+    j = clusters.select(id_col, "cluster_id").join(
+        scores.select(id_col, score_col), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_keeper", (F.col("_rn") == 1).cast("int"))
+        .drop("_rn")
+    )
