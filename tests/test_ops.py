@@ -736,3 +736,21 @@ def test_length_histogram(spark):
     got = {r["bucket_lo"]: r["n_docs"] for r in length_histogram(docs).collect()}
     # lengths 0,1,2,3,9 -> buckets 0,1,2,2,8
     assert got == {0: 1, 1: 1, 2: 2, 8: 1}
+
+
+def test_cluster_keepers_by_score(spark):
+    from pdfwf_spark.operators.dedup import cluster_keepers_by_score
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (7, 5), (9, 0)], "doc_id long, score long"
+    )
+    got = {
+        r["doc_id"]: r["is_keeper"]
+        for r in cluster_keepers_by_score(clusters, scores).collect()
+    }
+    # cluster 1: score tie 50/50 between ids 2 and 3 -> lower id wins
+    assert got == {1: 0, 2: 1, 3: 0, 7: 1, 9: 1}
