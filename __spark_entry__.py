@@ -789,6 +789,37 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_repetition_stats(docs)
 
 
+def _q_web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist application (textstats.filter_blocked_domains):
+    docs linking to any blocklisted domain are dropped via exploded
+    (doc, domain) pairs broadcast-semi-joined against the blocklist,
+    then an anti-join on doc ids — the corpus never shuffles. Same
+    synthetic link block as web_domain_counts; 3 of its 10 domains
+    blocked."""
+    from pdfwf_spark.operators.textstats import filter_blocked_domains
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" and http://cdn"),
+                            (F.col("doc_id") % 2).cast("string"),
+                            F.lit(".example.org/x")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    blocklist = spark.createDataFrame(
+        [("site2.example.com",), ("site5.example.com",), ("cdn1.example.org",)],
+        "domain string",
+    )
+    return filter_blocked_domains(docs, blocklist).select("doc_id")
+
+
 def _q_web_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level URL histogram (the C4/RefinedWeb blocklist /
     per-domain-cap building block). The corpus has no URLs, so a
@@ -1137,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_truncate": _q_text_truncate,
         "text_length_histogram": _q_text_length_histogram,
         "dedup_keep_longest": _q_dedup_keep_longest,
+        "web_blocklist_filter": _q_web_blocklist_filter,
     }
 
 
@@ -1852,6 +1884,30 @@ def oracle_sql() -> dict[str, str]:
               FROM urls)
             SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
             FROM doms GROUP BY domain
+        """,
+        # same synthetic link block; docs whose domain set intersects
+        # the 3-domain blocklist are anti-joined away
+        "web_blocklist_filter": f"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     text || ' see https://site' || (doc_id % 7)::VARCHAR
+                          || '.example.com/page/' || doc_id::VARCHAR
+                          || CASE WHEN doc_id % 3 = 0
+                             THEN ' and http://cdn' || (doc_id % 2)::VARCHAR
+                                  || '.example.org/x'
+                             ELSE '' END AS text
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                        '{_DOMAIN_PAT.replace(chr(39), chr(39) * 2)}', 1)) AS dom
+              FROM docs2),
+            blocked AS (
+              SELECT DISTINCT doc_id FROM p
+              WHERE lower(dom) IN ('site2.example.com', 'site5.example.com',
+                                   'cdn1.example.org'))
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
         """,
         "text_clf_score": rf"""
             WITH t AS (

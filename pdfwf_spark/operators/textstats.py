@@ -469,3 +469,38 @@ def length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("bucket_lo")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def filter_blocked_domains(
+    docs: DataFrame, blocklist: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Drop every document that links to a blocklisted domain — the
+    C4-style blocklist application domain_counts was built to feed.
+
+    Per-doc distinct domains (array expression, no explode-shuffle of
+    the corpus) -> arrays_overlap against the blocklist collected into
+    one broadcast literal? No: the blocklist can be large, so instead
+    explode the (doc, domain) pairs — a SMALL table, a few domains per
+    doc — broadcast-ANTI-join it against the blocklist, and semi-join
+    docs on the surviving doc ids. The corpus itself never shuffles;
+    only doc_id/domain pairs move, and the blocklist side broadcasts.
+
+    blocklist: DataFrame with a `domain` column (lowercase).
+    """
+    pairs = docs.select(
+        F.col("doc_id"),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    F.regexp_extract_all(F.col(text_col), F.lit(DOMAIN_PATTERN), 1),
+                    F.lower,
+                )
+            )
+        ).alias("domain"),
+    )
+    blocked_docs = pairs.join(
+        F.broadcast(blocklist.select(F.lower(F.col("domain")).alias("domain"))),
+        "domain",
+        "left_semi",
+    ).select("doc_id").distinct()
+    return docs.join(blocked_docs, "doc_id", "left_anti")

@@ -754,3 +754,21 @@ def test_cluster_keepers_by_score(spark):
     }
     # cluster 1: score tie 50/50 between ids 2 and 3 -> lower id wins
     assert got == {1: 0, 2: 1, 3: 0, 7: 1, 9: 1}
+
+
+def test_filter_blocked_domains(spark):
+    from pdfwf_spark.operators.textstats import filter_blocked_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://bad.example.com/x and more"),
+            (2, "see https://GOOD.example.com/y"),
+            (3, "no links at all"),
+            (4, "https://ok.org/a https://BAD.example.com/b"),  # case-folded match
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    blocklist = spark.createDataFrame([("bad.example.com",)], "domain string")
+    kept = {r["doc_id"] for r in filter_blocked_domains(docs, blocklist).collect()}
+    assert kept == {2, 3, 5}
