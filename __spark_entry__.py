@@ -715,6 +715,30 @@ def _q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_keepers_by_score(clusters, scores)
 
 
+_PASSAGE = " ".join(f"psg{i}" for i in range(30))
+
+
+def _q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-verbatim passage borrowing (dedup.shared_passage_pairs):
+    pairs sharing >=2 distinct word 8-grams — the bounded cousin of
+    suffix-array substring dedup, catching lifted paragraphs that
+    Jaccard-ratio dedup scores near zero. The corpus has no verbatim
+    cross-doc passages, so a fixed 30-token passage is appended to
+    every 50th doc with the identical expression in the oracle."""
+    from pdfwf_spark.operators.dedup import shared_passage_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 50 == 0, F.lit(" " + _PASSAGE)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return shared_passage_pairs(docs, min_shared=2)
+
+
 def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same component semantics as dedup_clusters, computed by the
     O(log n)-round large-star/small-star alternation instead of
@@ -1169,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_histogram": _q_text_length_histogram,
         "dedup_keep_longest": _q_dedup_keep_longest,
         "web_blocklist_filter": _q_web_blocklist_filter,
+        "dedup_passages": _q_dedup_passages,
     }
 
 
@@ -1884,6 +1909,33 @@ def oracle_sql() -> dict[str, str]:
               FROM urls)
             SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
             FROM doms GROUP BY domain
+        """,
+        # distinct word 8-grams over docs + the synthetic shared
+        # passage; df-capped; pair count >= 2
+        "dedup_passages": f"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 50 = 0
+                             THEN ' {_PASSAGE}' ELSE '' END AS text
+              FROM documents),
+            sh8 AS (
+              SELECT doc_id, sh FROM (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(t) - 6, 1)),
+                  i -> {" || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(8))}
+                ))) AS sh
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(lower(text)), '\\s+') AS t
+                      FROM docs2)
+                WHERE len(t) >= 8)),
+            capped AS (
+              SELECT * FROM sh8
+              QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {_MAX_SHINGLE_DF})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            FROM capped a JOIN capped b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
         """,
         # same synthetic link block; docs whose domain set intersects
         # the 3-domain blocklist are anti-joined away

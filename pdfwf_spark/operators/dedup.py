@@ -788,3 +788,42 @@ def cluster_keepers_by_score(
         .withColumn("is_keeper", (F.col("_rn") == 1).cast("int"))
         .drop("_rn")
     )
+
+
+def shared_passage_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    min_shared: int = 2,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    log_drops: bool = False,
+) -> DataFrame:
+    """Near-verbatim passage borrowing: doc pairs sharing >= min_shared
+    distinct word 8-grams — the bounded cousin of suffix-array exact
+    substring dedup (Lee et al. 2022): an 8-gram in common is a
+    verbatim 8-word span in common, and `n_shared` LOWER-BOUNDS the
+    borrowed-span token count without materializing any suffix
+    structure. Jaccard-ratio dedup misses this case (a paragraph
+    lifted into an otherwise-unrelated doc scores near-zero Jaccard);
+    this operator is the standard complement.
+
+    Same plan skeleton and hot-shingle df guard as
+    ngram_jaccard_pairs: explode distinct 8-grams -> df-cap ->
+    self-equi-join on the shingle -> one (id_a, id_b) count. Long
+    shingles are rare (df is tiny), so the join's bucket sizes are
+    naturally bounded; the cap is a backstop for boilerplate.
+
+    Output: (id_a, id_b, n_shared long).
+    """
+    sh = exploded_shingles(docs, text_col, id_col, shingle_n)
+    if log_drops:
+        _log_drops(sh, ["sh"], max_df, "shared_passage_pairs")
+    sh = cap_hot_groups(sh, ["sh"], max_df)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -772,3 +772,25 @@ def test_filter_blocked_domains(spark):
     blocklist = spark.createDataFrame([("bad.example.com",)], "domain string")
     kept = {r["doc_id"] for r in filter_blocked_domains(docs, blocklist).collect()}
     assert kept == {2, 3, 5}
+
+
+def test_shared_passage_pairs(spark):
+    from pdfwf_spark.operators.dedup import shared_passage_pairs
+
+    passage = " ".join(f"w{i}" for i in range(12))  # 12 tokens -> 5 distinct 8-grams
+    docs = spark.createDataFrame(
+        [
+            (1, "intro alpha beta " + passage),
+            (2, "different opening words here " + passage),
+            (3, "no borrowed text at all in this one whatsoever"),
+            (4, passage),  # the bare passage
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in shared_passage_pairs(docs, min_shared=2).collect()
+    }
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+    assert all(n >= 5 for n in got.values())  # all passage 8-grams shared
+    assert got[(1, 4)] == 5  # exactly the in-passage 8-grams (no boundary overlap)
