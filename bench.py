@@ -74,6 +74,8 @@ HEADLINE = [
     "sample_cap_source",
     "text_top_bigrams",
     "text_fix_mojibake",
+    "dedup_passages",
+    "web_blocklist_filter",
     "text_clf_score",
     "web_domain_counts",
     "text_quality",

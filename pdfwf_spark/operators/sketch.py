@@ -165,20 +165,28 @@ _SKETCH_SCHEMA = T.StructType(
 
 
 def _compact(levels: dict[int, np.ndarray], capacity: int) -> None:
-    """Deterministic compaction: any level over capacity is sorted and
-    its even-index half promoted one level up (each promoted item then
-    stands for twice as many rows). Even-index selection (vs KLL's
-    coin flip) keeps the sketch deterministic at the cost of a worse
-    constant in the rank-error bound — the classical Munro–Paterson
-    trade."""
+    """Deterministic compaction: any level over capacity is sorted,
+    the even-index item of each adjacent PAIR is promoted one level up
+    (a promoted item stands for twice as many rows), and an odd
+    leftover item stays at the current level — so total represented
+    weight sum(len(level_l) * 2^l) is conserved EXACTLY (a plain
+    buf[::2] promotion of an odd buffer would round the weight up).
+    Even-index selection (vs KLL's coin flip) keeps the sketch
+    deterministic at the cost of a worse constant in the rank-error
+    bound — the classical Munro–Paterson trade."""
     lvl = 0
     while lvl <= max(levels, default=-1):
         buf = levels.get(lvl)
         if buf is not None and len(buf) > capacity:
             buf = np.sort(buf)
-            levels[lvl] = np.empty(0, dtype=np.float64)
+            n_pairs = len(buf) // 2
+            leftover = buf[2 * n_pairs:]  # 0 or 1 item, the sorted max
+            levels[lvl] = leftover
             levels[lvl + 1] = np.concatenate(
-                [levels.get(lvl + 1, np.empty(0, dtype=np.float64)), buf[::2]]
+                [
+                    levels.get(lvl + 1, np.empty(0, dtype=np.float64)),
+                    buf[: 2 * n_pairs : 2],
+                ]
             )
         lvl += 1
 

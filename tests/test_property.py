@@ -151,3 +151,64 @@ def test_pii_redaction_never_raises_and_preserves_clean_text(text):
     out = _redact_py(text)
     if not any(c.isdigit() for c in text) and "@" not in text:
         assert out == text
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_fix_mojibake_idempotent_and_non_growing(text):
+    from pdfwf_spark.core.normalize import fix_mojibake
+
+    once = fix_mojibake(text)
+    assert fix_mojibake(once) == once  # repairs reach a fixpoint
+    assert len(once) <= len(text)      # every repair shrinks or preserves
+
+
+@given(st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=200))
+@settings(max_examples=40, deadline=None)
+def test_greedy_pack_kernel_invariants(lengths, budget):
+    import pandas as pd
+
+    from pdfwf_spark.operators.packing import _greedy_kernel
+
+    pdf = pd.DataFrame(
+        {
+            "key": range(len(lengths)),
+            "bucket": [0] * len(lengths),
+            "ord": [f"{i:04d}" for i in range(len(lengths))],
+            "n": lengths,
+        }
+    )
+    out = _greedy_kernel(budget)(pdf)
+    # conservation: every doc placed exactly once
+    assert sorted(out["key"]) == sorted(pdf["key"])
+    # no straddle unless truncated; truncated iff oversized
+    for _, r in out.iterrows():
+        if r["truncated"]:
+            assert r["n"] > budget and r["seq_offset"] == 0
+        else:
+            assert r["seq_offset"] + r["n"] <= budget
+    # per-sequence fills never exceed budget (truncated singletons aside)
+    ok = out[out["truncated"] == 0]
+    fills = ok.groupby("seq_idx")["n"].sum()
+    assert (fills <= budget).all()
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=3000))
+@settings(max_examples=25, deadline=None)
+def test_mp_sketch_compaction_rank_bound(vals):
+    import numpy as np
+
+    from pdfwf_spark.operators.sketch import _compact
+
+    capacity = 64
+    levels = {0: np.asarray(vals, dtype=np.float64)}
+    _compact(levels, capacity)
+    # every level within capacity afterwards; total weight conserved
+    total = 0
+    for lvl, buf in levels.items():
+        assert len(buf) <= capacity, (lvl, len(buf))
+        total += len(buf) * (2 ** lvl)
+    assert total == len(vals)
