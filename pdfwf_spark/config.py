@@ -91,10 +91,20 @@ class CurateConfig:
     text_col: str = "text"
     near_dup_threshold: float | None = 0.05
     cluster_algorithm: str = "labelprop"
+    #: which doc survives a duplicate cluster: "min_id" (deterministic
+    #: arbitrary) or "longest" (keep-best-by-token-count re-election)
+    keeper_policy: str = "min_id"
     top2gram_max: int | None = 150
     quality_min: int | None = None
     langs: list[str] | None = None
     redact_pii: bool = True
+    #: drop docs linking to any of these domains (lowercase); None/[]
+    #: disables the stage
+    blocked_domains: list[str] | None = None
+    #: truncate surviving docs to this many tokens; None disables
+    max_tokens: int | None = None
+    #: append a deterministic train/val/test `split` column
+    assign_splits: bool = False
 
     def __post_init__(self) -> None:
         if not self.input or not self.output:
@@ -103,10 +113,16 @@ class CurateConfig:
             raise ValueError(
                 f"cluster_algorithm must be labelprop|star, got {self.cluster_algorithm!r}"
             )
+        if self.keeper_policy not in ("min_id", "longest"):
+            raise ValueError(
+                f"keeper_policy must be min_id|longest, got {self.keeper_policy!r}"
+            )
         if self.near_dup_threshold is not None and not (
             0 < self.near_dup_threshold <= 1
         ):
             raise ValueError("near_dup_threshold must be in (0, 1]")
+        if self.max_tokens is not None and self.max_tokens <= 0:
+            raise ValueError("max_tokens must be positive when set")
 
     @classmethod
     def from_yaml(cls, path: str | Path) -> "CurateConfig":

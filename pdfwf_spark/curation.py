@@ -69,6 +69,17 @@ def curate(
 
     note("input", out)
 
+    if cfg.blocked_domains:
+        from pdfwf_spark.operators.textstats import filter_blocked_domains
+
+        blocklist = docs.sparkSession.createDataFrame(
+            [(d,) for d in cfg.blocked_domains], "domain string"
+        )
+        out = note(
+            "blocklist",
+            filter_blocked_domains(out, blocklist, text_col=text_col),
+        )
+
     if cfg.near_dup_threshold is not None:
         pairs = lsh_verified_neardups(
             out, text_col=text_col, id_col=id_col,
@@ -77,11 +88,17 @@ def curate(
         cluster_fn = (
             dup_clusters_star if cfg.cluster_algorithm == "star" else dup_clusters
         )
-        keepers = (
-            cluster_fn(out, pairs, id_col=id_col)
-            .filter(F.col("is_keeper") == 1)
-            .select(id_col)
-        )
+        clusters = cluster_fn(out, pairs, id_col=id_col)
+        if cfg.keeper_policy == "longest":
+            from pdfwf_spark.operators.dedup import cluster_keepers_by_score
+            from pdfwf_spark.operators.textstats import token_count
+
+            scores = out.select(
+                F.col(id_col),
+                token_count(F.col(text_col)).cast("long").alias("score"),
+            )
+            clusters = cluster_keepers_by_score(clusters, scores, id_col=id_col)
+        keepers = clusters.filter(F.col("is_keeper") == 1).select(id_col)
         out = note("dedup", out.join(keepers, id_col, "left_semi"))
 
     if cfg.top2gram_max is not None:
@@ -105,5 +122,16 @@ def curate(
         if cfg.langs:
             out = out.filter(F.col("lang_pred").isin(*cfg.langs))
         out = note("quality", out)
+
+    if cfg.max_tokens is not None:
+        from pdfwf_spark.operators.textstats import truncate_tokens
+
+        # truncate LAST: every floor above judged the full document
+        out = truncate_tokens(out, cfg.max_tokens, text_col=text_col)
+
+    if cfg.assign_splits:
+        from pdfwf_spark.operators.sampling import split_assign
+
+        out = split_assign(out, id_col)
 
     return CurateResult(curated=out, stage_counts=stage_counts)

@@ -151,3 +151,49 @@ def test_partial_yaml_plus_flags(tmp_path):
     assert cli_or_yaml(vals, "quality_min", None, None) == 500
     assert cli_or_yaml(vals, "langs", None, ["en"]) == ["en"]
     assert cli_or_yaml({"markdown_compat": True}, "markdown_compat", False, False)
+
+
+def test_curate_round4_stages(spark):
+    from pdfwf_spark.config import CurateConfig
+    from pdfwf_spark.curation import curate
+
+    passage = " ".join(f"dup{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " the a of extra tail words here", None),
+            (2, passage + " the a of other trailing words", None),
+            (3, "the quick brown fox jumps over the lazy dog " * 10, None),
+            (4, "see https://blocked.example.com/x " + "the a of words " * 5, None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    cfg = CurateConfig(
+        input="/in", output="/out",
+        near_dup_threshold=0.5, keeper_policy="longest",
+        top2gram_max=None, redact_pii=False,
+        blocked_domains=["blocked.example.com"],
+        max_tokens=20, assign_splits=True,
+    )
+    res = curate(docs, cfg, collect_stats=True)
+    rows = {r["doc_id"]: r for r in res.curated.collect()}
+    assert 4 not in rows                      # blocklisted
+    assert (1 in rows) != (2 in rows)         # near-dups: one keeper
+    kept_dup = rows.get(1) or rows.get(2)
+    # keeper_policy=longest: doc 1 (8 extra tokens) beats doc 2 (7)
+    assert kept_dup["doc_id"] == 1
+    for r in rows.values():
+        assert r["n_tokens_kept"] <= 20       # truncation applied
+        assert r["split"] in {"train", "val", "test"}
+    assert res.stage_counts["blocklist"] == 3
+    assert res.stage_counts["dedup"] == 2
+
+
+def test_curate_config_keeper_validation():
+    import pytest as _pytest
+
+    from pdfwf_spark.config import CurateConfig
+
+    with _pytest.raises(ValueError):
+        CurateConfig(input="/in", output="/out", keeper_policy="best")
+    with _pytest.raises(ValueError):
+        CurateConfig(input="/in", output="/out", max_tokens=0)
