@@ -201,3 +201,64 @@ def test_repetition_line_stats_need_no_shuffle(spark):
     assert "ObjectHashAggregate" not in plan and "SortAggregate" not in plan, plan
     n_ex = plan.count("Exchange ") + plan.count("Exchange\n")
     assert n_ex == 3, plan
+
+
+def test_pack_concat_single_exchange(spark):
+    """Packing assignment = one hash exchange on the pack bucket (the
+    window's requirement); no extra shuffle, no global sort."""
+    from pdfwf_spark.operators.packing import pack_concat
+
+    df = spark.createDataFrame(
+        [(i, i % 40 + 1) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    plan = _plan(pack_concat(df, 64, n_buckets=4))
+    assert plan.count("Exchange ") + plan.count("Exchange\n") == 1, plan
+    assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_split_assign_zero_shuffle(spark):
+    """Split assignment is a per-row expression — no exchange at all."""
+    from pdfwf_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    plan = _plan(split_assign(df, "doc_id"))
+    assert "Exchange" not in plan, plan
+
+
+def test_top_terms_broadcasts_df_table(spark):
+    """The stopword-cut df table must reach the tf join as a
+    broadcast, never a shuffle join."""
+    from pdfwf_spark.operators.textstats import top_terms_per_doc
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(30)], "doc_id long, text string"
+    )
+    plan = _plan(top_terms_per_doc(docs, k=2))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_blocklist_filter_broadcast_and_anti(spark):
+    """Blocklist application: blocklist side broadcasts; docs survive
+    via an anti-join — the corpus side never builds a hash table."""
+    from pdfwf_spark.operators.textstats import filter_blocked_domains
+
+    docs = spark.createDataFrame(
+        [(i, f"https://d{i % 3}.ex.com/x") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bl = spark.createDataFrame([("d1.ex.com",)], "domain string")
+    plan = _plan(filter_blocked_domains(docs, bl))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_histogram_quantiles_aggregates_distinct_values_only(spark):
+    """The ordered window must run over the distinct-value histogram,
+    not the raw rows: the plan's window input is the grouped table."""
+    from pdfwf_spark.operators.sketch import histogram_quantiles
+
+    df = spark.createDataFrame([(i % 7,) for i in range(200)], "n long")
+    plan = _plan(histogram_quantiles(df, "n", [0.5]))
+    # hash aggregate (the histogram) below the window sort
+    assert "HashAggregate" in plan, plan
+    assert "Window" in plan, plan
