@@ -1149,7 +1149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "simhash_band_pairs": _q_simhash_band_pairs,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
-        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_lsh_verified": _q_dedup_lsh_verified,
         "dedup_clusters": _q_dedup_clusters,
         # -- curation / text analysis
@@ -1162,14 +1161,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_counts": _q_web_domain_counts,
         # -- embedding similarity
         "emb_cosine_topk": _q_emb_cosine_topk,
-        "emb_neardup_lsh": _q_emb_neardup_lsh,
         "emb_ivf_topk": _q_emb_ivf_topk,
-        "curate_corpus": _q_curate_corpus,
-        "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "pack_concat": _q_pack_concat,
+        "sample_split": _q_sample_split,
+        "text_term_df": _q_text_term_df,
+        "dedup_passages": _q_dedup_passages,
         # ---------------- below the driver's 50-row fold ----------------
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "curate_corpus": _q_curate_corpus,
+        "text_token_count": _q_text_token_count,
+        "emb_neardup_lsh": _q_emb_neardup_lsh,
         "a_distinct": _q_a_distinct,
         "dedup_simhash64": _q_dedup_simhash64,
         "dedup_simhash128": _q_dedup_simhash128,
@@ -1178,22 +1182,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_exact": _q_emb_neardup_exact,
         "corpus_quantiles_hist": _q_corpus_quantiles_hist,
         "corpus_quantiles_sample": _q_corpus_quantiles_sample,
-        "pack_concat": _q_pack_concat,
         "pack_greedy_stats": _q_pack_greedy_stats,  # rows-only: next-fit recursion has no SQL twin
-        "sample_split": _q_sample_split,
         "sample_cap_source": _q_sample_cap_source,
         "sample_stratified": _q_sample_stratified,
         "sample_mix_weights": _q_sample_mix_weights,
         "text_top_bigrams": _q_text_top_bigrams,
         "text_fix_mojibake": _q_text_fix_mojibake,
-        "text_term_df": _q_text_term_df,
         "text_top_terms": _q_text_top_terms,
         "emb_kmeans": _q_emb_kmeans,  # rows-only: iterative, no SQL twin
         "text_truncate": _q_text_truncate,
         "text_length_histogram": _q_text_length_histogram,
         "dedup_keep_longest": _q_dedup_keep_longest,
         "web_blocklist_filter": _q_web_blocklist_filter,
-        "dedup_passages": _q_dedup_passages,
     }
 
 
