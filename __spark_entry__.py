@@ -1059,6 +1059,17 @@ def _q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def _q_text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer token count (textstats.bpe_token_count):
+    GPT-2-shape pre-tokenization regex pinned to the Java/RE2-common
+    subset; the standard training-budget estimator when the real
+    tokenizer is too expensive to run corpus-wide."""
+    from pdfwf_spark.operators.textstats import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count(F.col("text")))
+
+
 def _q_text_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus document-frequency table (textstats.term_doc_freq):
     distinct tokens per doc exploded into one map-side-combined count —
@@ -1194,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_histogram": _q_text_length_histogram,
         "dedup_keep_longest": _q_dedup_keep_longest,
         "web_blocklist_filter": _q_web_blocklist_filter,
+        "text_bpe_count": _q_text_bpe_count,
     }
 
 
@@ -1211,7 +1223,13 @@ from pdfwf_spark.operators.sampling import (  # noqa: E402
     DEFAULT_SPLIT_WEIGHTS as _SPLIT_W,
     split_cuts as _split_cuts,
 )
-from pdfwf_spark.operators.textstats import PII_RULES as _PII  # noqa: E402
+from pdfwf_spark.core.normalize import WS_CLASS as _WS  # noqa: E402
+from pdfwf_spark.operators.textstats import (  # noqa: E402
+    BPE_PRETOKEN_PATTERN as _BPE_PAT,
+    PII_RULES as _PII,
+)
+
+_BPE_SQL_PAT = _BPE_PAT.replace("'", "''")  # SQL-quote the contraction pieces
 
 _SPLIT_CUTS = _split_cuts(_SPLIT_W)  # byte-identical thresholds for the oracle
 
@@ -2085,6 +2103,14 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY ngram
             ORDER BY n DESC, ngram
             LIMIT 20
+        """,
+        "text_bpe_count": f"""
+            SELECT doc_id,
+                   len(list_filter(
+                     regexp_extract_all(text, '{_BPE_SQL_PAT}'),
+                     x -> NOT regexp_full_match(x, '[{_WS}]+')))::INT
+                     AS n_bpe_tokens
+            FROM documents
         """,
         "text_term_df": rf"""
             WITH toks AS (

@@ -504,3 +504,31 @@ def filter_blocked_domains(
         "left_semi",
     ).select("doc_id").distinct()
     return docs.join(blocked_docs, "doc_id", "left_anti")
+
+
+#: GPT-2-style pre-tokenizer regex, pinned to the Java/RE2-common
+#: subset (no lookarounds, no \p classes; explicit ASCII classes +
+#: WS_CLASS per the twin contract). Splits contractions, letter runs,
+#: digit runs, punctuation runs, and whitespace runs — the shape of
+#: the byte-pair pre-tokenization every GPT-family tokenizer applies
+#: before merges, so `bpe_token_count` tracks real token counts far
+#: more closely than whitespace splitting on punctuated text.
+BPE_PRETOKEN_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?[A-Za-z]+| ?[0-9]+"
+    f"| ?[^A-Za-z0-9{WS_CLASS}]+"
+    f"|[{WS_CLASS}]+"
+)
+
+
+def bpe_token_count(text_col: Column) -> Column:
+    """Pre-tokenizer token count: matches of BPE_PRETOKEN_PATTERN that
+    are not pure whitespace. A lower bound on the true BPE token count
+    (merges only split runs further, never join across pre-tokens) and
+    the standard budget estimator when the real tokenizer is too
+    expensive to run corpus-wide."""
+    pieces = F.regexp_extract_all(text_col, F.lit(BPE_PRETOKEN_PATTERN), 0)
+    ws_only = f"^[{WS_CLASS}]+$"
+    return F.size(
+        F.filter(pieces, lambda x: ~x.rlike(ws_only))
+    ).alias("n_bpe_tokens")

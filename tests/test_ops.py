@@ -794,3 +794,29 @@ def test_shared_passage_pairs(spark):
     assert set(got) == {(1, 2), (1, 4), (2, 4)}
     assert all(n >= 5 for n in got.values())  # all passage 8-grams shared
     assert got[(1, 4)] == 5  # exactly the in-passage 8-grams (no boundary overlap)
+
+
+def test_bpe_token_count_python_twin(spark):
+    import re
+
+    from pdfwf_spark.operators.textstats import BPE_PRETOKEN_PATTERN, bpe_token_count
+    from pdfwf_spark.core.normalize import WS_CLASS
+    from pyspark.sql import functions as F
+
+    texts = [
+        "It's a well-known fact: GPT-2 has 50,257 tokens!",
+        "we'll don't i'm they've o'clock 'quoted'",
+        "snake_case camelCase  double  spaces\tand\ttabs",
+        "1234 12.5 ...!!! ::",
+        "",
+        " \t\n",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["n_bpe_tokens"] for r in df.select(bpe_token_count(F.col("t"))).collect()]
+    pat = re.compile(BPE_PRETOKEN_PATTERN)
+    ws = re.compile(f"^[{WS_CLASS}]+$")
+    want = [
+        sum(1 for m in pat.findall(t) if not ws.match(m)) for t in texts
+    ]
+    assert got == want
+    assert got[0] == 17  # It/'s/ a/ well/-/known/ fact/:/ GPT/-/2/ has/ 50/,/257/ tokens/!
