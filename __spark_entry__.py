@@ -1059,6 +1059,20 @@ def _q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def _q_stream_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window stats (streaming/windows.py) run on
+    its batch twin path (the watermark is a no-op on batch input —
+    same expression the streaming job aggregates per micro-batch,
+    where the watermark bounds state and drops stragglers; pinned in
+    tests/test_streaming.py)."""
+    from pdfwf_spark.streaming.windows import windowed_turn_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", F.col("event_type").alias("role"), F.col("props").alias("text")
+    )
+    return windowed_turn_stats(ev, window="10 minutes")
+
+
 def _q_text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer token count (textstats.bpe_token_count):
     GPT-2-shape pre-tokenization regex pinned to the Java/RE2-common
@@ -1206,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_longest": _q_dedup_keep_longest,
         "web_blocklist_filter": _q_web_blocklist_filter,
         "text_bpe_count": _q_text_bpe_count,
+        "stream_windowed_stats": _q_stream_windowed_stats,
     }
 
 
@@ -2103,6 +2118,20 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY ngram
             ORDER BY n DESC, ngram
             LIMIT 20
+        """,
+        "stream_windowed_stats": """
+            WITH w AS (
+              SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600)
+                          AS TIMESTAMP) AS win_start,
+                     event_type AS role,
+                     len(coalesce(props, '')) AS b
+              FROM events)
+            SELECT win_start,
+                   win_start + INTERVAL 10 MINUTE AS win_end,
+                   role,
+                   COUNT(*) AS n_turns,
+                   CAST(SUM(b) AS BIGINT) AS bytes_in
+            FROM w GROUP BY win_start, role
         """,
         "text_bpe_count": f"""
             SELECT doc_id,

@@ -407,3 +407,99 @@ def test_seen_state_compaction_empty(spark, tmp_path):
 
     stats = compact_seen_state(spark, str(tmp_path / "never_ran"), n_buckets=2)
     assert stats["rows_before"] == 0 and stats["rows_after"] == 0
+
+
+def test_windowed_turn_stats_watermark_drops_late(spark, tmp_path):
+    """Append-mode windowed aggregation: a window emits once when the
+    watermark passes its end, and a turn arriving later than the
+    watermark is dropped from its finalized window."""
+    from datetime import datetime
+
+    from pdfwf_spark.streaming.windows import windowed_turn_stats
+
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    now = _time.time()
+
+    def write_file(name, rows, mtime):
+        staging = str(tmp_path / f"wstage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        part = _glob.glob(staging + "/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        _shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: 3 user turns inside [10:00, 10:10)
+    write_file("f1", [("c1", 1, "user", "aaaa", t(10, 0)),
+                      ("c1", 2, "user", "bb", t(10, 5)),
+                      ("c2", 1, "user", "c", t(10, 9))], now)
+    # batch 2: event at 10:30 -> END-of-batch watermark 10:25, past
+    # the first window's 10:10 end
+    write_file("f2", [("c3", 1, "user", "dddd", t(10, 30))], now + 10)
+    # batch 3: 11:00 event. Its START watermark (10:25) evicts+emits
+    # [10:00, 10:10); end-of-batch watermark advances to 10:55.
+    # (Late-row filtering uses the batch-START watermark, so the LATE
+    # row must arrive in a LATER batch than the one that advanced the
+    # watermark past its window.)
+    write_file("f3", [("c4", 1, "assistant", "e", t(11, 0))], now + 20)
+    # batch 4: a LATE turn for the long-finalized first window
+    # (10:02 vs start watermark 10:55) -> dropped; plus a 12:00 event
+    write_file("f4", [("c9", 1, "user", "LATE", t(10, 2)),
+                      ("c5", 1, "user", "ff", t(12, 0))], now + 30)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_turn_stats(stream).writeStream
+        .format("memory").queryName("win_stats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = {
+        (r["win_start"].hour, r["win_start"].minute, r["role"]): r
+        for r in spark.sql("SELECT * FROM win_stats").collect()
+    }
+    first = rows[(10, 0, "user")]
+    assert first["n_turns"] == 3          # late 'LATE' turn NOT counted
+    assert first["bytes_in"] == 7         # 4 + 2 + 1
+    assert rows[(10, 30, "user")]["n_turns"] == 1
+    assert rows[(11, 0, "assistant")]["n_turns"] == 1
+    # [12:00, 12:10) is still open when the stream drains -> not emitted
+    assert (12, 0, "user") not in rows
+
+
+def test_windowed_turn_stats_batch_twin(spark):
+    """The identical expression runs as a batch aggregate (watermark
+    is a no-op there) — the exact-count path for jobs that cannot
+    tolerate the streaming late-drop."""
+    from datetime import datetime
+
+    from pdfwf_spark.streaming.windows import windowed_turn_stats
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    df = spark.createDataFrame(
+        [("c1", 1, "user", "aaaa", t(10, 0)),
+         ("c1", 2, "user", "bb", t(10, 5)),
+         ("c9", 1, "user", "late", t(10, 2)),
+         ("c3", 1, "user", "dddd", t(10, 30))],
+        "conv_id string, turn_idx int, role string, text string, ts timestamp",
+    )
+    rows = {
+        (r["win_start"].minute, r["role"]): (r["n_turns"], r["bytes_in"])
+        for r in windowed_turn_stats(df).collect()
+    }
+    assert rows == {(0, "user"): (3, 10), (30, "user"): (1, 4)}
