@@ -654,6 +654,54 @@ def _q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake=True)
 
 
+def _q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (multimodal.media_features): mean
+    unit value per-mille (integer half-up — engine-exact) + audio
+    zero crossings, vectorized per Arrow batch. The fake bodies are
+    (doc_id*mult + i) % 251 sequences, so the oracle reproduces every
+    feature arithmetically."""
+    import pandas as pd
+
+    from pdfwf_spark.operators.multimodal import make_fake_media_batch, media_features
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
+    docs = repartition_for_scan(_t(spark, sf_dir, "documents"))
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {"doc_id": ids, "content": make_fake_media_batch(ids)}
+            )
+
+    media = docs.select("doc_id").mapInPandas(build, "doc_id long, content binary")
+    return media_features(media, fake=True)
+
+
+def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (multimodal.sample_frames): every 2nd
+    frame of the FAKEVID layout as one exploded row with a per-frame
+    byte-sum checksum — the mapInPandas shape an ffmpeg-backed
+    sampler would use. Frame bodies are arithmetic in doc_id, so the
+    oracle replays frame boundaries and checksums exactly."""
+    import pandas as pd
+
+    from pdfwf_spark.operators.multimodal import make_fake_video, sample_frames
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
+    docs = repartition_for_scan(_t(spark, sf_dir, "documents"))
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {"doc_id": ids, "content": [make_fake_video(i) for i in ids]}
+            )
+
+    media = docs.select("doc_id").mapInPandas(build, "doc_id long, content binary")
+    return sample_frames(media, every_n=2)
+
+
 def _q_mm_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8's REAL codec branch: valid BMP/WAV files (deterministic in
     doc_id) decoded by the stdlib codecs (struct header parse + the
@@ -1221,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_blocklist_filter": _q_web_blocklist_filter,
         "text_bpe_count": _q_text_bpe_count,
         "stream_windowed_stats": _q_stream_windowed_stats,
+        "mm_media_features": _q_mm_media_features,
+        "mm_frame_sample": _q_mm_frame_sample,
     }
 
 
@@ -2365,6 +2415,50 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_fr > 0 THEN 'fr'
                         ELSE 'und' END AS lang_pred
             FROM s
+        """,
+        # fake bodies are (doc_id*mult + i) % 251 — features replayed
+        # arithmetically; mean is integer half-up (engine-exact)
+        "mm_media_features": """
+            WITH m AS (
+              SELECT doc_id,
+                     doc_id % 2 = 0 AS is_img,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN (4 + doc_id % 13) * (3 + doc_id % 7)
+                          ELSE 16 + doc_id % 33 END AS n,
+                     CASE WHEN doc_id % 2 = 0 THEN 31 ELSE 17 END AS mult
+              FROM documents),
+            v AS (
+              SELECT doc_id, is_img, n,
+                     list_transform(range(0, n),
+                                    i -> (doc_id * mult + i) % 251) AS vals
+              FROM m)
+            SELECT doc_id,
+                   CASE WHEN is_img THEN 'image' ELSE 'audio' END AS media_type,
+                   n::BIGINT AS n_units,
+                   CAST((1000 * list_sum(vals) + n // 2) // n AS BIGINT)
+                     AS mean_milli,
+                   CASE WHEN is_img THEN NULL
+                        ELSE CAST(len(list_filter(range(1, n),
+                               i -> (vals[i] >= 128) != (vals[i+1] >= 128)))
+                             AS BIGINT)
+                   END AS zero_cross
+            FROM v
+        """,
+        # FAKEVID frames: boundaries and per-frame byte sums replayed
+        "mm_frame_sample": """
+            WITH m AS (
+              SELECT doc_id, 4 + doc_id % 6 AS nf, 8 + doc_id % 5 AS fs
+              FROM documents),
+            f AS (
+              SELECT doc_id, fs, unnest(range(0, nf, 2)) AS frame_idx FROM m)
+            SELECT doc_id,
+                   frame_idx::INT AS frame_idx,
+                   fs::BIGINT AS frame_bytes,
+                   CAST(list_sum(list_transform(
+                          range(frame_idx * fs, (frame_idx + 1) * fs),
+                          i -> (doc_id * 19 + i) % 251)) % 1000000007
+                        AS BIGINT) AS frame_checksum
+            FROM f
         """,
         "mm_media_meta": """
             WITH m AS (

@@ -820,3 +820,142 @@ def test_bpe_token_count_python_twin(spark):
     ]
     assert got == want
     assert got[0] == 17  # It/'s/ a/ well/-/known/ fact/:/ GPT/-/2/ has/ 50/,/257/ tokens/!
+
+
+def test_media_features_fake_twin(spark):
+    import numpy as np
+
+    from pdfwf_spark.operators.multimodal import (
+        make_fake_media, media_features,
+    )
+
+    ids = list(range(8))
+    rows = [(i, make_fake_media(i, "image" if i % 2 == 0 else "audio")) for i in ids]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in media_features(media, fake=True).collect()}
+    for i, blob in rows:
+        body = np.frombuffer(blob, dtype=np.uint8, offset=15)
+        r = got[i]
+        assert r["n_units"] == len(body)
+        assert r["mean_milli"] == (1000 * int(body.sum()) + len(body) // 2) // len(body)
+        if i % 2 == 0:
+            assert r["media_type"] == "image" and r["zero_cross"] is None
+        else:
+            sgn = body >= 128
+            assert r["media_type"] == "audio"
+            assert r["zero_cross"] == int(np.count_nonzero(sgn[1:] != sgn[:-1]))
+
+
+def test_media_features_real_twin(spark):
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from pdfwf_spark.operators.multimodal import make_real_media, media_features
+
+    rows = [(i, make_real_media(i, "image" if i % 2 == 0 else "audio"))
+            for i in range(6)] + [(99, b"GARBAGE")]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in media_features(media, fake=False).collect()}
+    assert got[99]["media_type"] == "unknown" and got[99]["mean_milli"] is None
+    for i, blob in rows[:-1]:
+        r = got[i]
+        if i % 2 == 0:
+            off = struct.unpack_from("<I", blob, 10)[0]
+            px = np.frombuffer(blob, dtype=np.uint8, offset=off)
+            assert r["media_type"] == "image"
+            assert r["mean_milli"] == (1000 * int(px.sum()) + len(px) // 2) // len(px)
+        else:
+            with wave.open(io.BytesIO(blob)) as w:
+                s = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2").astype(np.int64)
+            assert r["media_type"] == "audio"
+            assert r["n_units"] == len(s)
+            assert r["mean_milli"] == (1000 * int(np.abs(s).sum()) + len(s) // 2) // len(s)
+            sgn = s >= 0
+            assert r["zero_cross"] == int(np.count_nonzero(sgn[1:] != sgn[:-1]))
+
+
+def test_resize_images_roundtrip_fake_and_real(spark):
+    from pdfwf_spark.operators.multimodal import (
+        decode_media, make_fake_media, make_real_media, resize_images,
+    )
+
+    fake = spark.createDataFrame(
+        [(i, make_fake_media(i, "image")) for i in range(4)],
+        "doc_id long, content binary",
+    )
+    rs = resize_images(fake, 6, 5, fake=True)
+    meta = {r["doc_id"]: r for r in decode_media(rs, fake=True).collect()}
+    assert all(meta[i]["width"] == 6 and meta[i]["height"] == 5 for i in range(4))
+
+    real = spark.createDataFrame(
+        [(i, make_real_media(i, "image")) for i in range(0, 8, 2)],
+        "doc_id long, content binary",
+    )
+    rr = resize_images(real, 3, 2, fake=False)
+    rmeta = {r["doc_id"]: r for r in decode_media(rr, fake=False).collect()}
+    assert all(
+        rmeta[i]["media_type"] == "image"
+        and rmeta[i]["width"] == 3 and rmeta[i]["height"] == 2
+        for i in range(0, 8, 2)
+    )
+
+    # non-image: NULL passthrough, or NotImplementedError under strict
+    import pytest as _pytest
+
+    wav = spark.createDataFrame(
+        [(1, make_real_media(1, "audio"))], "doc_id long, content binary"
+    )
+    assert resize_images(wav, 2, 2).collect()[0]["content"] is None
+    with _pytest.raises(Exception, match="NotImplementedError|no resampler"):
+        resize_images(wav, 2, 2, strict=True).collect()
+
+
+def test_resize_nearest_neighbor_exact(spark):
+    import struct
+
+    import numpy as np
+
+    from pdfwf_spark.operators.multimodal import IMG_MAGIC, resize_images
+
+    # 2x2 image upscaled 2x: each source pixel becomes a 2x2 block
+    px = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    blob = IMG_MAGIC + struct.pack(">II", 2, 2) + px.tobytes()
+    media = spark.createDataFrame([(1, blob)], "doc_id long, content binary")
+    out = resize_images(media, 4, 4, fake=True).collect()[0]["content"]
+    body = np.frombuffer(bytes(out), dtype=np.uint8, offset=15).reshape(4, 4)
+    want = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+    assert (body == want).all()
+
+
+def test_sample_frames_twin_and_strict(spark):
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pdfwf_spark.operators.multimodal import (
+        CHECKSUM_MOD, make_fake_video, sample_frames,
+    )
+
+    rows = [(i, make_fake_video(i)) for i in range(5)] + [(9, b"not video")]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {}
+    for r in sample_frames(media, every_n=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["frame_idx"], r["frame_bytes"], r["frame_checksum"])
+        )
+    assert 9 not in got  # unknown silently skipped
+    for i, blob in rows[:-1]:
+        n_frames, frame_size = struct.unpack_from(">II", blob, 7)
+        body = np.frombuffer(blob, dtype=np.uint8, offset=15)
+        want = [
+            (f, frame_size,
+             int(body[f * frame_size:(f + 1) * frame_size].sum()) % CHECKSUM_MOD)
+            for f in range(0, n_frames, 2)
+        ]
+        assert sorted(got[i]) == want, i
+    with _pytest.raises(Exception, match="NotImplementedError|no video codec"):
+        sample_frames(media, strict=True).collect()
