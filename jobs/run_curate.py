@@ -39,6 +39,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--langs", default=None,
                     help="comma-separated language allowlist, e.g. en,es")
     ap.add_argument("--no-pii", action="store_true")
+    ap.add_argument("--keeper-policy", choices=("min_id", "longest"), default=None)
+    ap.add_argument("--blocked-domains", default=None,
+                    help="comma-separated lowercase domain blocklist")
+    ap.add_argument("--max-tokens", type=int, default=None)
+    ap.add_argument("--assign-splits", action="store_true")
     args = ap.parse_args(argv)
 
     from pdfwf_spark.config import CurateConfig, cli_or_yaml, yaml_mapping
@@ -72,6 +77,13 @@ def main(argv: list[str] | None = None) -> None:
         quality_min=pick("quality_min", args.quality_min, None),
         langs=langs,
         redact_pii=(not args.no_pii) and yaml_vals.get("redact_pii", True),
+        keeper_policy=pick("keeper_policy", args.keeper_policy, "min_id"),
+        blocked_domains=(
+            args.blocked_domains.split(",") if args.blocked_domains
+            else pick("blocked_domains", None, None)
+        ),
+        max_tokens=pick("max_tokens", args.max_tokens, None),
+        assign_splits=args.assign_splits or yaml_vals.get("assign_splits", False),
     )
 
     from pyspark.sql import SparkSession

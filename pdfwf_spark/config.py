@@ -170,3 +170,32 @@ def read_input(spark, path_or_table: str):
     if path_or_table.endswith((".parquet", "/")) or "/" in path_or_table:
         return spark.read.parquet(path_or_table)
     return spark.read.table(path_or_table)
+
+
+@dataclass
+class PackConfig:
+    """Config surface of the sequence-packing job (jobs/run_pack.py):
+    documents table -> per-doc sequence assignment under a fixed token
+    budget, by either packing discipline (operators/packing.py)."""
+
+    input: str
+    output: str
+    budget: int = 2048
+    discipline: str = "concat"  # concat (split at cuts) | greedy (next-fit)
+    n_buckets: int = 8
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+    def __post_init__(self) -> None:
+        if not self.input or not self.output:
+            raise ValueError("config requires non-empty 'input' and 'output'")
+        if self.discipline not in ("concat", "greedy"):
+            raise ValueError(
+                f"discipline must be concat|greedy, got {self.discipline!r}"
+            )
+        if self.budget <= 0 or self.n_buckets <= 0:
+            raise ValueError("budget and n_buckets must be positive")
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "PackConfig":
+        return dataclass_from_yaml(cls, path)

@@ -197,3 +197,81 @@ def test_curate_config_keeper_validation():
         CurateConfig(input="/in", output="/out", keeper_policy="best")
     with _pytest.raises(ValueError):
         CurateConfig(input="/in", output="/out", max_tokens=0)
+
+
+def test_pack_job_end_to_end(spark, tmp_path):
+    """jobs/run_pack.py driven as a subprocess (its main() stops the
+    SparkSession) with a YAML config: packing assignment written, one
+    JSON stats line printed."""
+    import json
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "tok " * (5 + i % 20)) for i in range(60)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "packed")
+    cfgp = tmp_path / "pack.yaml"
+    cfgp.write_text(
+        f"input: {src}\noutput: {out}\nbudget: 64\n"
+        "discipline: greedy\nn_buckets: 2\n"
+    )
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_pack.py"),
+         "--config", str(cfgp)],
+        capture_output=True, text=True, env=env, timeout=240,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["discipline"] == "greedy" and stats["budget"] == 64
+    assert stats["stats"]["n_seqs"] > 0
+
+    packed = spark.read.parquet(out)
+    assert packed.count() == 60
+    assert set(packed.columns) >= {"doc_id", "bucket", "seq_idx", "seq_offset", "n"}
+    # greedy: no doc straddles its budget
+    from pyspark.sql import functions as F
+    bad = packed.filter(
+        (F.col("truncated") == 0) & (F.col("seq_offset") + F.col("n") > 64)
+    ).count()
+    assert bad == 0
+
+
+def test_pack_config_validation():
+    import pytest as _pytest
+
+    from pdfwf_spark.config import PackConfig
+
+    with _pytest.raises(ValueError):
+        PackConfig(input="/a", output="/b", discipline="optimal")
+    with _pytest.raises(ValueError):
+        PackConfig(input="/a", output="/b", budget=0)
+
+
+def test_curate_yaml_round4_keys(spark, tmp_path):
+    """YAML values for the round-4 curation knobs must reach the
+    config (a silently-dropped key is the classic config footgun)."""
+    import sys
+
+    cfgp = tmp_path / "c.yaml"
+    cfgp.write_text(
+        "keeper_policy: longest\nblocked_domains: [bad.example.com]\n"
+        "max_tokens: 99\nassign_splits: true\n"
+    )
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_curate  # noqa: F401  (import side-effect free)
+    finally:
+        sys.path.pop(0)
+    from pdfwf_spark.config import CurateConfig, yaml_mapping
+
+    vals = yaml_mapping(CurateConfig, cfgp)
+    assert vals == {
+        "keeper_policy": "longest",
+        "blocked_domains": ["bad.example.com"],
+        "max_tokens": 99,
+        "assign_splits": True,
+    }
