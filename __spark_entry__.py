@@ -1282,6 +1282,7 @@ _TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
 # twin of dedup.cap_hot_groups — QUALIFY COUNT(*) OVER the bucket key)
 from pdfwf_spark.operators.dedup import (          # noqa: E402
     DEFAULT_MAX_BUCKET as _MAX_BUCKET,
+    DEFAULT_MAX_PASSAGE_DF as _MAX_PASSAGE_DF,
     DEFAULT_MAX_SHINGLE_DF as _MAX_SHINGLE_DF,
 )
 from pdfwf_spark.operators.sampling import (  # noqa: E402
@@ -2013,7 +2014,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(t) >= 8)),
             capped AS (
               SELECT * FROM sh8
-              QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {_MAX_SHINGLE_DF})
+              QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {_MAX_PASSAGE_DF})
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
             FROM capped a JOIN capped b
               ON a.sh = b.sh AND a.doc_id < b.doc_id

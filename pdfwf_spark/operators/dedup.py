@@ -790,13 +790,23 @@ def cluster_keepers_by_score(
     )
 
 
+#: df cap for passage 8-grams — much tighter than the Jaccard
+#: shingle cap: an 8-gram shared by hundreds of documents is template
+#: boilerplate (whose dedup signal exact/minhash passes own), not a
+#: borrowed passage, and every shingle at df contributes df^2/2
+#: candidate pairs — at df=1000 one boilerplate line costs 500k pairs
+#: (measured: the sf1 bench point went 4.5x super-linear before this
+#: cap). 64 bounds any shingle's contribution to ~2k pairs.
+DEFAULT_MAX_PASSAGE_DF = 64
+
+
 def shared_passage_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 8,
     min_shared: int = 2,
-    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_df: int | None = DEFAULT_MAX_PASSAGE_DF,
     log_drops: bool = False,
 ) -> DataFrame:
     """Near-verbatim passage borrowing: doc pairs sharing >= min_shared
