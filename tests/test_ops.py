@@ -959,3 +959,20 @@ def test_sample_frames_twin_and_strict(spark):
         assert sorted(got[i]) == want, i
     with _pytest.raises(Exception, match="NotImplementedError|no video codec"):
         sample_frames(media, strict=True).collect()
+
+
+def test_resize_rejects_non_24bpp_bmp(spark):
+    import struct
+
+    from pdfwf_spark.operators.multimodal import resize_images
+
+    # valid-looking BMP header but 8bpp: must take the stub path, not
+    # mis-slice rows with 24bpp stride math
+    px = bytes(range(16))
+    bmp8 = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, len(px), 0, 0, 0, 0)
+        + px
+    )
+    media = spark.createDataFrame([(1, bmp8)], "doc_id long, content binary")
+    assert resize_images(media, 2, 2).collect()[0]["content"] is None
