@@ -991,6 +991,19 @@ def _q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_concat(docs, budget=256, n_buckets=4)
 
 
+def _q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed sequences materialized (packing.materialize_sequences):
+    the assignment joined back to text, one ordered group-concat per
+    (bucket, seq_idx) — the artifact a dataloader actually reads."""
+    from pdfwf_spark.operators.packing import materialize_sequences, pack_concat
+    from pdfwf_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    packed = pack_concat(n, budget=256, n_buckets=4)
+    return materialize_sequences(docs, packed)
+
+
 def _q_pack_greedy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-fit whole-document packing (packing.pack_greedy, the
     applyInPandas custom-operator tier) summarized by pack_stats.
@@ -1271,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_stats": _q_stream_windowed_stats,
         "mm_media_features": _q_mm_media_features,
         "mm_frame_sample": _q_mm_frame_sample,
+        "pack_materialize": _q_pack_materialize,
     }
 
 
@@ -2123,6 +2137,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off % 256 AS BIGINT) AS seq_offset,
                    n
             FROM c
+        """,
+        # pack_concat assignment CTE + ordered string_agg per sequence
+        "pack_materialize": rf"""
+            WITH n AS (
+              SELECT doc_id, len(list_filter({_TOKS}, x -> x <> '')) AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id, n,
+                     (('0x' || substr(md5('b#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 4)::INT AS bucket,
+                     md5(doc_id::VARCHAR) AS ord
+              FROM n),
+            c AS (
+              SELECT doc_id, bucket, n,
+                     SUM(n) OVER (PARTITION BY bucket ORDER BY ord, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n AS off
+              FROM s),
+            p AS (
+              SELECT doc_id, bucket,
+                     CAST(off // 256 AS BIGINT) AS seq_idx,
+                     CAST(off % 256 AS BIGINT) AS seq_offset, n
+              FROM c)
+            SELECT p.bucket, p.seq_idx,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(p.n) AS BIGINT) AS n_tokens,
+                   string_agg(d.text, ' ' ORDER BY p.seq_offset, p.doc_id)
+                     AS seq_text
+            FROM p JOIN documents d USING (doc_id)
+            GROUP BY p.bucket, p.seq_idx
         """,
         "sample_split": f"""
             SELECT doc_id,

@@ -193,3 +193,47 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
         .alias("fill_per_mille"),
         F.sum("n_trunc").cast("long").alias("n_truncated"),
     )
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    packed: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Turn a packing ASSIGNMENT into actual training sequences: one
+    row per (bucket, seq_idx) holding the member documents' text
+    joined in pack order — the artifact a pretraining dataloader
+    reads (in production the separator is the EOD token).
+
+    Documents group by the sequence holding their FIRST token (for
+    concat packing a straddling doc belongs to its head sequence —
+    the cut itself happens at tokenization time downstream; for
+    greedy packing membership is exact). One join on the doc key +
+    one groupBy per sequence; the ordered concat uses the same
+    sort_array(collect_list(struct)) shape as the A1 group-concat
+    operator, with (seq_offset, key) making the order total.
+
+    Output: (bucket, seq_idx, n_docs, n_tokens, seq_text).
+    """
+    j = packed.join(docs.select(key_col, text_col), key_col)
+    entry = F.struct(
+        F.col("seq_offset"), F.col(key_col), F.col(text_col).alias("t"),
+        F.col("n"),
+    )
+    return (
+        j.groupBy("bucket", "seq_idx")
+        .agg(F.sort_array(F.collect_list(entry)).alias("es"))
+        .select(
+            "bucket",
+            "seq_idx",
+            F.size("es").cast("long").alias("n_docs"),
+            F.aggregate(
+                "es", F.lit(0).cast("long"), lambda acc, e: acc + e["n"]
+            ).alias("n_tokens"),
+            F.array_join(
+                F.transform("es", lambda e: e["t"]), sep
+            ).alias("seq_text"),
+        )
+    )

@@ -203,3 +203,38 @@ def test_pack_stats_concat_branch(spark, docs_df):
     assert stats["n_seqs"] > 0
     assert stats["n_truncated"] == 0
     assert 0 < stats["fill_per_mille"] <= 1000
+
+
+def test_materialize_sequences_order_and_conservation(spark):
+    from pdfwf_spark.operators.packing import materialize_sequences, pack_concat
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", (i * 7) % 30 + 1) for i in range(50)],
+        "doc_id long, text string, n_tokens long",
+    )
+    packed = pack_concat(docs, 40, n_buckets=2)
+    seqs = materialize_sequences(docs, packed).collect()
+    # conservation: every doc appears exactly once across all sequences
+    all_docs = []
+    for r in seqs:
+        all_docs.extend(r["seq_text"].split(" "))
+        assert r["n_docs"] == len(r["seq_text"].split(" "))
+    assert sorted(all_docs) == sorted(f"d{i}" for i in range(50))
+    # order within a sequence follows the assignment's seq_offset
+    by_key = {(r["bucket"], r["seq_idx"]): r for r in seqs}
+    assign = sorted(
+        ((r["bucket"], r["seq_idx"]), r["seq_offset"], r["doc_id"])
+        for r in packed.collect()
+    )
+    expect: dict = {}
+    for key, off, doc in assign:
+        expect.setdefault(key, []).append(f"d{doc}")
+    for key, texts in expect.items():
+        assert by_key[key]["seq_text"] == " ".join(texts), key
+    # token totals per sequence match the assignment sums
+    for key, r in by_key.items():
+        want = sum(
+            p["n"] for p in packed.collect()
+            if (p["bucket"], p["seq_idx"]) == key
+        )
+        assert r["n_tokens"] == want
