@@ -1107,6 +1107,19 @@ def _q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram(_t(spark, sf_dir, "documents"))
 
 
+def _q_emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over k-means-refined cells (similarity.ivf_topk_kmeans):
+    the offline-refined coarse quantizer composed with cell-probed
+    cosine top-k. Iterative fit — rows-only for the driver; pytest
+    pins full-probe == brute-force equality and partial-probe
+    recall."""
+    from pdfwf_spark.operators.similarity import ivf_topk_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk_kmeans(emb, queries, k=5, n_centroids=8, iters=2, n_probe=3)
+
+
 def _q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized Lloyd's k-means over the embeddings table
     (similarity.kmeans_cluster): IVF centroid refinement, bit-stable
@@ -1285,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": _q_mm_media_features,
         "mm_frame_sample": _q_mm_frame_sample,
         "pack_materialize": _q_pack_materialize,
+        "emb_ivf_kmeans_topk": _q_emb_ivf_kmeans_topk,  # rows-only: iterative fit
     }
 
 

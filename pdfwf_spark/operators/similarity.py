@@ -482,3 +482,84 @@ def kmeans_cluster(
         cents = new_cents
 
     return assigned(), cents
+
+
+def ivf_topk_kmeans(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    iters: int = 3,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over k-means-REFINED cells: kmeans_cluster fits the
+    coarse quantizer offline (integer Lloyd's — bit-stable), then both
+    corpus vectors and queries route by integer squared-L2 to the
+    refined centroids, and scoring inside the probed cells stays the
+    same quantized cosine as ivf_topk. Refined cells track the data
+    distribution instead of ivf_assign's arbitrary id<k seeds, which
+    is what keeps per-cell populations balanced on clustered corpora.
+
+    n_probe = n_centroids degrades to exact brute force (every cell
+    scanned), which the test pins against cosine_topk. Output contract
+    matches cosine_topk/ivf_topk: (q_id, n_id, rank, cos_milli).
+    """
+    _, cents = kmeans_cluster(emb, k=n_centroids, iters=iters,
+                              id_col=id_col, vec_col=vec_col)
+
+    def cell_of(df: DataFrame, out: str) -> DataFrame:
+        q = df.withColumn(
+            "_vm",
+            F.transform(
+                F.col(vec_col), lambda x: F.round(1000 * x.cast("double")).cast("long")
+            ),
+        )
+        entries = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_vm"),
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(j).alias("cell"),
+            )
+            for j, c in enumerate(cents)
+        ]
+        return q.withColumn(out, F.sort_array(F.array(*entries))).drop("_vm")
+
+    corpus = with_unit_norm(cell_of(emb, "_cells"), vec_col).select(
+        F.col(id_col).alias("n_id"),
+        F.col("_cells")[0]["cell"].alias("cell"),
+        "_vec",
+        F.col("_norm").alias("_n_norm"),
+    )
+    q_ranked = with_unit_norm(cell_of(queries, "_cells"), vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("_vec").alias("_q_vec"),
+        F.col("_norm").alias("_q_norm"),
+        F.slice("_cells", 1, n_probe).alias("_probes"),
+    )
+    probes = q_ranked.select(
+        "q_id", "_q_vec", "_q_norm",
+        F.explode(F.transform("_probes", lambda e: e["cell"])).alias("cell"),
+    )
+    scored = (
+        corpus.join(probes, "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "cos_milli",
+            F.round(1000 * _dot(F.col("_vec"), F.col("_q_vec"))
+                    / (F.col("_n_norm") * F.col("_q_norm"))).cast("int"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_milli"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos_milli")
+    )

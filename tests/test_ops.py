@@ -976,3 +976,31 @@ def test_resize_rejects_non_24bpp_bmp(spark):
     )
     media = spark.createDataFrame([(1, bmp8)], "doc_id long, content binary")
     assert resize_images(media, 2, 2).collect()[0]["content"] is None
+
+
+def test_ivf_kmeans_full_probe_equals_brute_force(spark):
+    import numpy as np
+
+    from pdfwf_spark.operators.similarity import cosine_topk, ivf_topk_kmeans
+
+    rng = np.random.RandomState(11)
+    # 3 genuine clusters so refined cells mean something
+    centers = rng.randn(3, 6) * 4
+    vecs = np.vstack([centers[i % 3] + rng.randn(6) * 0.5 for i in range(90)])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(90)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter("vec_id < 6")
+
+    # probing every cell == exact brute force (same scoring + ties)
+    full = ivf_topk_kmeans(emb, queries, k=4, n_centroids=4, iters=2, n_probe=4)
+    brute = cosine_topk(emb, queries, k=4)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+
+    # partial probe: well-formed output and decent recall on clustered data
+    part = ivf_topk_kmeans(emb, queries, k=4, n_centroids=4, iters=2, n_probe=2)
+    got = {(r["q_id"], r["n_id"]) for r in part.collect()}
+    want = {(r["q_id"], r["n_id"]) for r in brute.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, recall
