@@ -1123,9 +1123,12 @@ def _q_emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized Lloyd's k-means over the embeddings table
     (similarity.kmeans_cluster): IVF centroid refinement, bit-stable
-    under any partitioning because all numerics are exact int64.
-    Iterative multi-job algorithm — no SQL twin; rows-only for the
-    driver, with exact pure-Python-twin equality pinned in pytest."""
+    under any partitioning because all numerics are exact int64 —
+    which is precisely what makes the ITERATIVE algorithm oracle-able:
+    the DuckDB twin unrolls the 3 Lloyd's iterations as chained CTEs
+    (_kmeans_oracle_sql) and matches assignment, cluster, and distance
+    bit-for-bit. Exact pure-Python-twin equality additionally pinned
+    in pytest."""
     from pdfwf_spark.operators.similarity import kmeans_cluster
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1288,7 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": _q_text_top_bigrams,
         "text_fix_mojibake": _q_text_fix_mojibake,
         "text_top_terms": _q_text_top_terms,
-        "emb_kmeans": _q_emb_kmeans,  # rows-only: iterative, no SQL twin
+        "emb_kmeans": _q_emb_kmeans,  # oracled: iterations unrolled as CTEs
         "text_truncate": _q_text_truncate,
         "text_length_histogram": _q_text_length_histogram,
         "dedup_keep_longest": _q_dedup_keep_longest,
@@ -1326,6 +1329,66 @@ from pdfwf_spark.operators.textstats import (  # noqa: E402
 _BPE_SQL_PAT = _BPE_PAT.replace("'", "''")  # SQL-quote the contraction pieces
 
 _SPLIT_CUTS = _split_cuts(_SPLIT_W)  # byte-identical thresholds for the oracle
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB twin of similarity.kmeans_cluster: the integer Lloyd's
+    iterations unrolled as chained CTEs (assignment = row_number argmin
+    over the centroid cross join; update = per-(cluster, dim) mean).
+    Two pinned semantics bridges: DuckDB's integer `//` TRUNCATES while
+    the operator uses python floor division, so means go through
+    floor(s::DOUBLE / c) — exact here because |s| < 2^53 and any exact
+    quotient divides exactly; and round() is half-away-from-zero in
+    both Spark and DuckDB, so the milli quantization agrees."""
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(round(1000 * x) AS BIGINT)) AS vm FROM embeddings)",
+        "dims AS (SELECT unnest(range(1,"
+        " (SELECT max(len(vm)) FROM v) + 1)) AS i)",
+        f"c0 AS (SELECT vec_id AS cl, vm FROM v WHERE vec_id < {k})",
+    ]
+    for t in range(iters):
+        ctes += [
+            f"""s{t} AS (
+              SELECT v.vec_id, c.cl,
+                     list_sum(list_transform(range(1, len(v.vm) + 1),
+                       j -> (v.vm[j] - c.vm[j]) * (v.vm[j] - c.vm[j]))) AS dist
+              FROM v CROSS JOIN c{t} c)""",
+            f"""a{t} AS (
+              SELECT vec_id, cl FROM (
+                SELECT vec_id, cl,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cl) AS rn
+                FROM s{t}) t WHERE rn = 1)""",
+            f"""u{t} AS (
+              SELECT a.cl, d.i,
+                     CAST(floor(SUM(v.vm[d.i])::DOUBLE / COUNT(*)) AS BIGINT)
+                       AS val
+              FROM a{t} a JOIN v USING (vec_id) CROSS JOIN dims d
+              GROUP BY a.cl, d.i)""",
+            f"""n{t} AS (SELECT cl, list(val ORDER BY i) AS vm
+                         FROM u{t} GROUP BY cl)""",
+            f"""c{t + 1} AS (
+              SELECT c.cl, COALESCE(n.vm, c.vm) AS vm
+              FROM c{t} c LEFT JOIN n{t} n USING (cl))""",
+        ]
+    ctes.append(
+        f"""fin AS (
+          SELECT v.vec_id, c.cl,
+                 list_sum(list_transform(range(1, len(v.vm) + 1),
+                   j -> (v.vm[j] - c.vm[j]) * (v.vm[j] - c.vm[j]))) AS dist
+          FROM v CROSS JOIN c{iters} c)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        SELECT vec_id, cl::INT AS cluster, CAST(dist AS BIGINT) AS dist
+        FROM (
+          SELECT vec_id, cl, dist,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cl) AS rn
+          FROM fin) t WHERE rn = 1
+        """
+    )
 
 # mojibake oracle: the same ordered literal replace chain over
 # text + a sample containing every MOJIBAKE_MAP artifact once
@@ -2355,6 +2418,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(ROUND(1000 * list_sum(list_transform(range(1, len(l.vec) + 1),
                     i -> l.vec[i] * r.vec[i])) / (l.nrm * r.nrm)) AS INT) >= 300
         """,
+        # the integer Lloyd's iterations unrolled as chained CTEs —
+        # even the iterative algorithm has an exact SQL twin
+        "emb_kmeans": _kmeans_oracle_sql(k=8, iters=3),
         "emb_ivf_topk": """
             WITH v AS (
               SELECT vec_id, embedding::DOUBLE[] AS vec,
