@@ -1110,9 +1110,10 @@ def _q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over k-means-refined cells (similarity.ivf_topk_kmeans):
     the offline-refined coarse quantizer composed with cell-probed
-    cosine top-k. Iterative fit — rows-only for the driver; pytest
-    pins full-probe == brute-force equality and partial-probe
-    recall."""
+    cosine top-k. Fully oracled despite the iterative fit — the DuckDB
+    twin extends the unrolled-Lloyd's CTE chain with cell assignment,
+    L2-ranked probes, and quantized-cosine scoring. pytest adds
+    full-probe == brute-force equality and partial-probe recall."""
     from pdfwf_spark.operators.similarity import ivf_topk_kmeans
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1301,7 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": _q_mm_media_features,
         "mm_frame_sample": _q_mm_frame_sample,
         "pack_materialize": _q_pack_materialize,
-        "emb_ivf_kmeans_topk": _q_emb_ivf_kmeans_topk,  # rows-only: iterative fit
+        "emb_ivf_kmeans_topk": _q_emb_ivf_kmeans_topk,  # oracled: unrolled-CTE chain
     }
 
 
@@ -1331,15 +1332,16 @@ _BPE_SQL_PAT = _BPE_PAT.replace("'", "''")  # SQL-quote the contraction pieces
 _SPLIT_CUTS = _split_cuts(_SPLIT_W)  # byte-identical thresholds for the oracle
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
-    """DuckDB twin of similarity.kmeans_cluster: the integer Lloyd's
-    iterations unrolled as chained CTEs (assignment = row_number argmin
-    over the centroid cross join; update = per-(cluster, dim) mean).
-    Two pinned semantics bridges: DuckDB's integer `//` TRUNCATES while
-    the operator uses python floor division, so means go through
-    floor(s::DOUBLE / c) — exact here because |s| < 2^53 and any exact
-    quotient divides exactly; and round() is half-away-from-zero in
-    both Spark and DuckDB, so the milli quantization agrees."""
+def _kmeans_ctes(k: int = 8, iters: int = 3) -> list:
+    """CTE chain for the integer Lloyd's iterations unrolled in SQL
+    (assignment = row_number argmin over the centroid cross join;
+    update = per-(cluster, dim) mean). Two pinned semantics bridges:
+    DuckDB's integer `//` TRUNCATES while the operator uses python
+    floor division, so means go through floor(s::DOUBLE / c) — exact
+    here because |s| < 2^53 and any exact quotient divides exactly;
+    and round() is half-away-from-zero in both Spark and DuckDB, so
+    the milli quantization agrees. Ends with `fin`: every vector's
+    integer L2 to every refined centroid."""
     ctes = [
         "v AS (SELECT vec_id, list_transform(embedding,"
         " x -> CAST(round(1000 * x) AS BIGINT)) AS vm FROM embeddings)",
@@ -1379,14 +1381,68 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
                    j -> (v.vm[j] - c.vm[j]) * (v.vm[j] - c.vm[j]))) AS dist
           FROM v CROSS JOIN c{iters} c)"""
     )
+    return ctes
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
     return (
-        "WITH " + ",\n".join(ctes) + """
+        "WITH " + ",\n".join(_kmeans_ctes(k, iters)) + """
         SELECT vec_id, cl::INT AS cluster, CAST(dist AS BIGINT) AS dist
         FROM (
           SELECT vec_id, cl, dist,
                  row_number() OVER (PARTITION BY vec_id
                                     ORDER BY dist, cl) AS rn
           FROM fin) t WHERE rn = 1
+        """
+    )
+
+
+def _ivf_kmeans_oracle_sql(
+    k_cents: int = 8, iters: int = 2, n_probe: int = 3, topk: int = 5,
+    q_cut: int = 8,
+) -> str:
+    """DuckDB twin of similarity.ivf_topk_kmeans: the unrolled-Lloyd's
+    centroid chain (on `fin`, the integer L2 of every vector to the
+    refined centroids) feeding cell assignment, L2-ranked query
+    probes, and quantized-cosine scoring inside the probed cells."""
+    ctes = _kmeans_ctes(k_cents, iters)
+    ctes += [
+        """vn AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec,
+                 sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x))) AS nrm
+          FROM embeddings)""",
+        """cells AS (
+          SELECT vec_id, cl AS cell FROM (
+            SELECT vec_id, cl,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cl) AS rn
+            FROM fin) t WHERE rn = 1)""",
+        f"""probes AS (
+          SELECT vec_id AS q_id, cl AS cell FROM (
+            SELECT vec_id, cl,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cl) AS rn
+            FROM fin WHERE vec_id < {q_cut}) t WHERE rn <= {n_probe})""",
+        """scored AS (
+          SELECT p.q_id, a.vec_id AS n_id,
+                 CAST(ROUND(1000 * list_sum(list_transform(
+                        range(1, len(cv.vec) + 1),
+                        j -> cv.vec[j] * qv.vec[j])) / (cv.nrm * qv.nrm))
+                      AS INT) AS cos_milli
+          FROM probes p
+          JOIN cells a ON a.cell = p.cell
+          JOIN vn cv ON cv.vec_id = a.vec_id
+          JOIN vn qv ON qv.vec_id = p.q_id
+          WHERE a.vec_id <> p.q_id)""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT q_id, n_id, rnk AS rank, cos_milli FROM (
+          SELECT q_id, n_id, cos_milli,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_milli DESC, n_id) AS rnk
+          FROM scored) t WHERE rnk <= {topk}
         """
     )
 
@@ -2421,6 +2477,11 @@ def oracle_sql() -> dict[str, str]:
         # the integer Lloyd's iterations unrolled as chained CTEs —
         # even the iterative algorithm has an exact SQL twin
         "emb_kmeans": _kmeans_oracle_sql(k=8, iters=3),
+        # ...and the composition on top of it: refined cells + probes
+        # + quantized-cosine scoring
+        "emb_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(
+            k_cents=8, iters=2, n_probe=3, topk=5, q_cut=8
+        ),
         "emb_ivf_topk": """
             WITH v AS (
               SELECT vec_id, embedding::DOUBLE[] AS vec,
