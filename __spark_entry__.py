@@ -1007,8 +1007,10 @@ def _q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pack_greedy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-fit whole-document packing (packing.pack_greedy, the
     applyInPandas custom-operator tier) summarized by pack_stats.
-    Boundary recursion isn't SQL-expressible, so this row is rows-only
-    for the driver; tests/test_packing_sampling.py pins the kernel
+    The boundary recursion has no WINDOW form — but it does have a
+    recursive-CTE form: the oracle steps the (cur_seq, cur_fill)
+    state doc by doc per bucket and matches exactly.
+    tests/test_packing_sampling.py additionally pins the kernel
     against a pure-Python next-fit twin."""
     from pdfwf_spark.operators.packing import pack_greedy, pack_stats
     from pdfwf_spark.operators.textstats import token_count
@@ -1285,7 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_exact": _q_emb_neardup_exact,
         "corpus_quantiles_hist": _q_corpus_quantiles_hist,
         "corpus_quantiles_sample": _q_corpus_quantiles_sample,
-        "pack_greedy_stats": _q_pack_greedy_stats,  # rows-only: next-fit recursion has no SQL twin
+        "pack_greedy_stats": _q_pack_greedy_stats,  # oracled: recursive-CTE next-fit twin
         "sample_cap_source": _q_sample_cap_source,
         "sample_stratified": _q_sample_stratified,
         "sample_mix_weights": _q_sample_mix_weights,
@@ -2270,6 +2272,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off % 256 AS BIGINT) AS seq_offset,
                    n
             FROM c
+        """,
+        # next-fit greedy packing via a RECURSIVE CTE carrying the
+        # (cur_seq, cur_fill) state doc by doc within each bucket —
+        # the boundary recursion has no window form, but it does have
+        # a recursive-CTE twin; stats aggregated over the placements
+        "pack_greedy_stats": rf"""
+            WITH RECURSIVE
+            n AS (
+              SELECT doc_id, len(list_filter({_TOKS}, x -> x <> '')) AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id, n,
+                     (('0x' || substr(md5('b#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 4)::INT AS bucket,
+                     md5(doc_id::VARCHAR) AS ord
+              FROM n),
+            o AS (
+              SELECT doc_id, n, bucket,
+                     row_number() OVER (PARTITION BY bucket
+                                        ORDER BY ord, doc_id) AS rn
+              FROM s),
+            step(bucket, rn, n, seq, trunc, st_seq, st_fill) AS (
+              SELECT bucket, rn, n,
+                     0::BIGINT AS seq,
+                     (n > 256)::INT AS trunc,
+                     CASE WHEN n > 256 THEN 1 ELSE 0 END::BIGINT AS st_seq,
+                     CASE WHEN n > 256 THEN 0 ELSE n END::BIGINT AS st_fill
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.bucket, o.rn, o.n,
+                     CASE WHEN o.n > 256
+                          THEN p.st_seq + CASE WHEN p.st_fill > 0 THEN 1 ELSE 0 END
+                          WHEN p.st_fill + o.n > 256 THEN p.st_seq + 1
+                          ELSE p.st_seq END AS seq,
+                     (o.n > 256)::INT AS trunc,
+                     CASE WHEN o.n > 256
+                          THEN p.st_seq + CASE WHEN p.st_fill > 0 THEN 1 ELSE 0 END + 1
+                          WHEN p.st_fill + o.n > 256 THEN p.st_seq + 1
+                          ELSE p.st_seq END AS st_seq,
+                     CASE WHEN o.n > 256 THEN 0
+                          WHEN p.st_fill + o.n > 256 THEN o.n
+                          ELSE p.st_fill + o.n END AS st_fill
+              FROM o JOIN step p
+                ON o.bucket = p.bucket AND o.rn = p.rn + 1),
+            per_seq AS (
+              SELECT bucket, seq,
+                     SUM(n) AS fill, SUM(trunc) AS n_trunc
+              FROM step GROUP BY bucket, seq)
+            SELECT COUNT(*) AS n_seqs,
+                   CAST(ROUND(1000.0 * SUM(least(fill, 256))
+                              / (COUNT(*) * 256)) AS BIGINT) AS fill_per_mille,
+                   CAST(SUM(n_trunc) AS BIGINT) AS n_truncated
+            FROM per_seq
         """,
         # pack_concat assignment CTE + ordered string_agg per sequence
         "pack_materialize": rf"""
