@@ -787,6 +787,38 @@ def _q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_passage_pairs(docs, min_shared=2)
 
 
+def _q_dedup_clusters_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-keyed duplicate clusters (dedup._cc_on_surrogates): real
+    corpora key on URLs/UUIDs/paths (the reference keys on path
+    strings throughout, convert.py:249-257), so dup_clusters routes
+    non-integral ids through md5 surrogates and re-elects each
+    cluster's label as the LEXICOGRAPHIC-min original id per
+    component. Oracle: the same recursive-CTE components computed on
+    numeric ids, relabeled by min string id per component — a
+    surrogate-independent contract."""
+    from pdfwf_spark.operators.dedup import dup_clusters, lsh_verified_neardups
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("d:"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    pairs = lsh_verified_neardups(docs, threshold=0.01)
+    return dup_clusters(docs, pairs)
+
+
+def _q_dedup_lsh_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-split hot-bucket cap (dedup.cap_hot_groups mode='salt'):
+    band buckets over the cap are SPLIT into ceil(n/cap) md5 hash
+    sub-buckets instead of dropped — bounded join work per bucket
+    without drop mode's recall cliff. cap=2 here so the split
+    actually triggers at test scale (sf0.01's hottest minhash bucket
+    holds 3 docs); production caps are DEFAULT_MAX_BUCKET-sized."""
+    from pdfwf_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    return lsh_candidate_pairs(sigs, max_bucket_size=2, cap_mode="salt")
+
+
 def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same component semantics as dedup_clusters, computed by the
     O(log n)-round large-star/small-star alternation instead of
@@ -1256,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_lsh_verified": _q_dedup_lsh_verified,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_str": _q_dedup_clusters_str,  # r5: string-id surrogates
+        "dedup_lsh_pairs_salted": _q_dedup_lsh_pairs_salted,  # r5: salt-split cap
         # -- curation / text analysis
         "curate_full": _q_curate_full,
         "contam_benchmark": _q_contam_benchmark,
@@ -1272,9 +1306,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "pack_concat": _q_pack_concat,
         "sample_split": _q_sample_split,
+        # ---------------- below the driver's 50-row fold ----------------
+        # (text_term_df + dedup_passages recorded green in the r04
+        # driver window; moved below to make room for the r5 headliners)
         "text_term_df": _q_text_term_df,
         "dedup_passages": _q_dedup_passages,
-        # ---------------- below the driver's 50-row fold ----------------
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "curate_corpus": _q_curate_corpus,
         "text_token_count": _q_text_token_count,
@@ -1478,6 +1514,43 @@ _MINHASH_SIG_SQL = (
     )
     + f" FROM ({_SHINGLES}) GROUP BY doc_id"
 )
+
+# the LSH-verified near-dup edge set (threshold 0.01), shared by the
+# connected-components oracles — identical text to the CTE chain inlined
+# in the dedup_clusters / dedup_keep_longest oracles
+_VERIFIED_EDGE_CTES = f"""
+            sigs AS ({_MINHASH_SIG_SQL}),
+            bands0 AS (
+              SELECT doc_id, 0 AS band,
+                     md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS bucket FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs),
+            bands AS (SELECT * FROM bands0
+                      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket)
+                              <= {{max_bucket}}),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            sh AS ({_SHINGLES}),
+            counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS inter
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+              GROUP BY c.id_a, c.id_b),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN counts ca ON ca.doc_id = id_a
+              JOIN counts cb ON cb.doc_id = id_b
+              WHERE CAST(ROUND(1000.0 * inter / (ca.n_sh + cb.n_sh - inter)) AS INT) >= 10),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs)"""
 
 # banded simhash piv SQL (mirror of operators.dedup.simhash_bands)
 def _simhash_piv_sql(bits: int, n_bands: int) -> str:
@@ -1921,6 +1994,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, MIN(r) AS cluster_id,
                    CAST(CASE WHEN MIN(r) = id THEN 1 ELSE 0 END AS INT) AS is_keeper
             FROM reach GROUP BY id
+        """,
+        # string-keyed clusters: same recursive-CTE components (numeric
+        # ids — the 'd:' prefix is a bijection, so components are the
+        # image of the numeric ones), relabeled lexicographic-min
+        # string id per component — the surrogate-independent contract
+        # of dedup._cc_on_surrogates
+        "dedup_clusters_str": f"""
+            WITH RECURSIVE
+            {_VERIFIED_EDGE_CTES.format(max_bucket=_MAX_BUCKET)},
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.b, reach.r FROM edges e JOIN reach ON reach.id = e.a),
+            comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id),
+            reps AS (SELECT c, MIN('d:' || id::VARCHAR) AS rep FROM comp GROUP BY c)
+            SELECT 'd:' || id::VARCHAR AS doc_id, rep AS cluster_id,
+                   CAST(CASE WHEN 'd:' || id::VARCHAR = rep THEN 1 ELSE 0 END AS INT)
+                     AS is_keeper
+            FROM comp JOIN reps USING (c)
+        """,
+        # salt-split hot-bucket cap (cap=2 so the split triggers at
+        # sf0.01): groups over the cap get ceil(n/cap) md5 sub-buckets,
+        # the self-join keys on (band, bucket, salt)
+        "dedup_lsh_pairs_salted": f"""
+            WITH sigs AS ({_MINHASH_SIG_SQL}),
+            bands0 AS (
+              SELECT doc_id, 0 AS band,
+                     md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS bucket FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs),
+            salted AS (
+              SELECT doc_id, band, bucket,
+                     CASE WHEN cnt <= 2 THEN 0
+                          ELSE ('0x' || substr(md5('salt#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                               % ((cnt + 1) // 2)
+                     END AS salt
+              FROM (SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS cnt
+                    FROM bands0))
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM salted a JOIN salted b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.salt = b.salt
+                 AND a.doc_id < b.doc_id
         """,
         # same components as dedup_clusters, keeper re-elected by
         # (token-count DESC, id ASC) — the score-based keeper policy

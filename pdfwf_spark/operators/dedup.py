@@ -39,24 +39,74 @@ SIMHASH_BITS = 16
 DEFAULT_MAX_BUCKET = 500
 
 
-def cap_hot_groups(
-    exploded: DataFrame, keys: list[str], cap: int | None
-) -> DataFrame:
-    """Drop rows belonging to groups larger than `cap` — the quadratic
-    guard applied before every banded candidate self-join.
+def _md5_salt(key: Column, n_salts: Column) -> Column:
+    """Deterministic salt in [0, n_salts) from md5 over the row key —
+    md5 (not xxhash64) so a DuckDB oracle reproduces the split
+    bit-for-bit: ('0x'||substr(md5('salt#'||id),1,8))::BIGINT % n."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("salt#"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(bucket, n_salts)
 
-    One window count over the group keys: the same hash partitioning
-    the self-join needs anyway, so the guard adds no extra shuffle of
-    the exploded rows (the window's exchange is the join's exchange).
+
+def cap_hot_groups(
+    exploded: DataFrame,
+    keys: list[str],
+    cap: int | None,
+    mode: str = "drop",
+    salt_key: str | None = None,
+) -> DataFrame:
+    """Bound the quadratic blowup of hot groups before a banded
+    candidate self-join — the guard applied in front of every
+    band-bucket equi-self-join in this module.
+
+    mode="drop" (default): rows in groups larger than `cap` are
+    dropped entirely. Bounded work, but a recall CLIFF: every pair in
+    a dropped bucket is lost, including genuinely near-duplicate ones
+    whose other bands were also hot.
+
+    mode="salt": groups larger than `cap` are SPLIT into
+    ceil(n/cap) hash sub-buckets instead (a `_salt` column is added;
+    callers include it in the self-join keys). Work per group is
+    bounded at ~cap^2/2 * ceil(n/cap) pairs — linear in n for fixed
+    cap, vs the quadratic n^2/2 — while each sub-bucket still yields
+    its intra-bucket pairs, so recall degrades smoothly (expected
+    pair-recall within a split group ~ cap/n) instead of dropping to
+    zero. Groups at or under the cap get salt 0 (single sub-bucket,
+    exact behavior). `salt_key` names the column whose md5 drives the
+    split (the doc id); required in salt mode.
+
+    Both modes are one window count over the group keys: the same
+    hash partitioning the self-join needs anyway, so the guard adds
+    no extra shuffle of the exploded rows (the window's exchange is
+    the join's exchange).
     """
     if cap is None:
         return exploded
-    w = Window.partitionBy(*[F.col(k) for k in keys])
-    return (
-        exploded.withColumn("_grp_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("_grp_n") <= cap)
-        .drop("_grp_n")
-    )
+    if mode == "drop":
+        w = Window.partitionBy(*[F.col(k) for k in keys])
+        return (
+            exploded.withColumn("_grp_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_grp_n") <= cap)
+            .drop("_grp_n")
+        )
+    if mode == "salt":
+        if salt_key is None:
+            raise ValueError("cap_hot_groups(mode='salt') needs salt_key")
+        w = Window.partitionBy(*[F.col(k) for k in keys])
+        n = F.count(F.lit(1)).over(w)
+        # integer ceil-div (no float boundary drift cross-engine):
+        # DuckDB mirror is (n + cap - 1) // cap
+        n_salts = F.floor((n + F.lit(cap) - 1) / F.lit(cap)).cast("long")
+        return exploded.withColumn(
+            "_salt",
+            F.when(n_salts <= 1, F.lit(0).cast("long")).otherwise(
+                _md5_salt(F.col(salt_key), n_salts)
+            ),
+        )
+    raise ValueError(f"cap_hot_groups mode must be 'drop' or 'salt', got {mode!r}")
 
 
 def hot_group_report(
@@ -184,6 +234,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     log_drops: bool = False,
+    cap_mode: str = "drop",
 ) -> DataFrame:
     """Docs sharing >=1 band bucket (banding: P(candidate) rises
     sharply with Jaccard). Self-equi-join on (band, bucket) — the
@@ -192,6 +243,9 @@ def lsh_candidate_pairs(
     Buckets larger than `max_bucket_size` are dropped before the
     self-join (cap_hot_groups): without the cap one degenerate bucket
     is quadratic within itself at corpus scale. None disables.
+    cap_mode="salt" splits hot buckets into ceil(n/cap) hash
+    sub-buckets instead of dropping them — bounded work WITHOUT the
+    recall cliff (see cap_hot_groups).
     """
     k = bands * rows_per_band
     missing = [f"sig_{i}" for i in range(k) if f"sig_{i}" not in sigs.columns]
@@ -212,14 +266,20 @@ def lsh_candidate_pairs(
     if log_drops:
         _log_drops(exploded, ["band", "bucket"], max_bucket_size,
                    "lsh_candidate_pairs")
-    exploded = cap_hot_groups(exploded, ["band", "bucket"], max_bucket_size)
+    exploded = cap_hot_groups(
+        exploded, ["band", "bucket"], max_bucket_size,
+        mode=cap_mode, salt_key=id_col,
+    )
+    join_keys = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.bucket") == F.col("b.bucket")
+    )
+    if cap_mode == "salt" and max_bucket_size is not None:
+        join_keys = join_keys & (F.col("a._salt") == F.col("b._salt"))
     a, b_ = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
             b_,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            join_keys & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
@@ -382,6 +442,7 @@ def simhash_band_pairs(
     n_bands: int = 4,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     log_drops: bool = False,
+    cap_mode: str = "drop",
 ) -> DataFrame:
     """Near-dup candidates by banded Hamming grouping over a banded
     SimHash.
@@ -411,14 +472,20 @@ def simhash_band_pairs(
     if log_drops:
         _log_drops(exploded, ["band_idx", "band_val"], max_bucket_size,
                    "simhash_band_pairs")
-    exploded = cap_hot_groups(exploded, ["band_idx", "band_val"], max_bucket_size)
+    exploded = cap_hot_groups(
+        exploded, ["band_idx", "band_val"], max_bucket_size,
+        mode=cap_mode, salt_key=id_col,
+    )
+    join_keys = (F.col("a.band_idx") == F.col("b.band_idx")) & (
+        F.col("a.band_val") == F.col("b.band_val")
+    )
+    if cap_mode == "salt" and max_bucket_size is not None:
+        join_keys = join_keys & (F.col("a._salt") == F.col("b._salt"))
     a, b_ = exploded.alias("a"), exploded.alias("b")
     cands = (
         a.join(
             b_,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            join_keys & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
@@ -498,22 +565,88 @@ def lsh_verified_neardups(
     )
 
 
-def _require_integral_id(docs, id_col: str, op: str) -> None:
+def _is_integral_id(docs: DataFrame, id_col: str) -> bool:
     """Both component algorithms order labels numerically (cluster_id
     = component-min id) and cast ids to long: a string/uuid id column
     would cast to all-NULL labels and silently mark every doc a
-    non-keeper — corpus-deleting, so fail loudly instead. Use a
-    numeric surrogate (xxhash64(id) has a ~n^2/2^64 collision risk;
-    zipWithIndex-style assignment is exact) and join back."""
+    non-keeper — corpus-deleting. Non-integral ids therefore route
+    through the md5-surrogate wrapper instead of the direct path."""
     from pyspark.sql import types as T
 
     dt = docs.schema[id_col].dataType
-    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        raise TypeError(
-            f"{op} requires an integral {id_col!r} (got {dt.simpleString()}): "
-            "labels are component-MIN ids cast to long; map string ids to a "
-            "numeric surrogate first and join the result back"
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
+def surrogate_id(key: Column) -> Column:
+    """60-bit numeric surrogate for a string id: first 15 hex chars of
+    md5 as a non-negative long. md5 (not xxhash64) so the mapping is
+    engine-portable — DuckDB mirror:
+    ('0x' || substr(md5(id), 1, 15))::BIGINT. Collision odds are
+    ~n^2/2^61 (1e9 ids -> ~4e-4); the cluster wrapper verifies
+    injectivity by default because ONE collision silently merges two
+    unrelated docs into a cluster and deletes a keeper."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _cc_on_surrogates(
+    cc_fn,
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iters: int,
+    verify_surrogates: bool,
+) -> DataFrame:
+    """Run a connected-components function (which needs integral ids)
+    over a string-keyed corpus: ids map to md5 surrogates (a pure
+    column expression on BOTH docs and pairs — no translation join),
+    components are computed on the surrogates, and the final cluster
+    label is re-elected as the LEXICOGRAPHIC-MIN original id of each
+    component — a contract independent of the surrogate function, so
+    oracles and downstream keeper policies never see surrogate order.
+
+    verify_surrogates adds one aggregate pass asserting the surrogate
+    map is injective on this corpus (count_distinct(id) ==
+    count_distinct(surrogate)); disable only if the extra shuffle
+    matters more than the (tiny but corpus-corrupting) collision risk.
+
+    Shape at 100 TB: surrogate computation is scan-side codegen; the
+    relabel is one (cluster-keyed, map-side-combining) min aggregate
+    plus one equi-join — both bounded by the CC output itself.
+    """
+    orig = docs.select(F.col(id_col).alias("_orig")).withColumn(
+        "_sid", surrogate_id(F.col("_orig"))
+    )
+    if verify_surrogates:
+        r = orig.agg(
+            F.count_distinct("_orig").alias("n_id"),
+            F.count_distinct("_sid").alias("n_sid"),
+        ).collect()[0]
+        if r["n_id"] != r["n_sid"]:
+            raise ValueError(
+                f"surrogate_id collision: {r['n_id']} distinct ids -> "
+                f"{r['n_sid']} distinct surrogates; clusters would merge. "
+                "Use exact surrogates (zipWithIndex-style) for this corpus."
+            )
+    sdocs = orig.select(F.col("_sid").alias(id_col))
+    spairs = pairs.select(
+        surrogate_id(F.col("id_a")).alias("id_a"),
+        surrogate_id(F.col("id_b")).alias("id_b"),
+    )
+    cc = cc_fn(sdocs, spairs, id_col=id_col, max_iters=max_iters)
+    labeled = cc.join(
+        orig, cc[id_col] == orig["_sid"]
+    ).select("_orig", "cluster_id")
+    reps = labeled.groupBy("cluster_id").agg(F.min("_orig").alias("_rep"))
+    return (
+        labeled.join(reps, "cluster_id")
+        .select(
+            F.col("_orig").alias(id_col),
+            F.col("_rep").alias("cluster_id"),
+            (F.col("_orig") == F.col("_rep")).cast("int").alias("is_keeper"),
         )
+    )
 
 
 def dup_clusters(
@@ -521,6 +654,7 @@ def dup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    verify_surrogates: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pairs: each doc gets the
     MINIMUM id reachable through the pair graph as its cluster_id,
@@ -556,8 +690,17 @@ def dup_clusters(
 
     Output: (doc_id, cluster_id, is_keeper int). Docs with no pairs
     are singleton keepers.
+
+    String/uuid ids (the common case on real corpora — the reference
+    keys on path strings throughout, convert.py:249-257) route through
+    md5 surrogates automatically; the cluster label is then the
+    lexicographic-min original id per component (see
+    _cc_on_surrogates), so callers never see surrogate values.
     """
-    _require_integral_id(docs, id_col, "dup_clusters")
+    if not _is_integral_id(docs, id_col):
+        return _cc_on_surrogates(
+            dup_clusters, docs, pairs, id_col, max_iters, verify_surrogates
+        )
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     # the edge list is LOOP-INVARIANT: hash-partition it on the join
@@ -679,6 +822,7 @@ def dup_clusters_star(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 40,
+    verify_surrogates: bool = True,
 ) -> DataFrame:
     """Connected components in O(log n) rounds via alternating
     large-star / small-star (Kiveris et al., "Connected Components in
@@ -697,8 +841,14 @@ def dup_clusters_star(
     toward smaller ids; fixpoint (star graphs, every node pointing at
     its component min) is detected by an edge-set checksum, one 1-row
     action per half-round.
+
+    String ids route through md5 surrogates + lexicographic-min
+    relabel, exactly as dup_clusters (see _cc_on_surrogates).
     """
-    _require_integral_id(docs, id_col, "dup_clusters_star")
+    if not _is_integral_id(docs, id_col):
+        return _cc_on_surrogates(
+            dup_clusters_star, docs, pairs, id_col, max_iters, verify_surrogates
+        )
     edges = (
         pairs.select(F.col("id_a").cast("long").alias("u"),
                      F.col("id_b").cast("long").alias("v"))

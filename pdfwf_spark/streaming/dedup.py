@@ -63,12 +63,23 @@ def start_incremental_dedup(
     checkpoint: str | None = None,
     max_files_per_trigger: int = 4,
     input_schema: T.StructType | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Start the incremental-dedup stream over a parquet directory.
 
     Writes {out_dir}/docs (kept docs + their digest) and
     {out_dir}/seen (the digest state table). Returns the running
     StreamingQuery; callers own awaitTermination/stop.
+
+    compact_every=N triggers compact_seen_state automatically after
+    every N-th committed epoch, INSIDE foreachBatch — foreachBatch
+    callbacks are strictly serialized by the streaming engine, so no
+    concurrent reader can observe the directory swap mid-flight, and
+    a long-lived stream's seen table stays at one file per digest
+    bucket instead of one file per epoch ever processed. The epoch id
+    is the streaming engine's (monotone across restarts), so the
+    cadence survives stream restarts without extra state. None (the
+    default) keeps compaction a between-runs maintenance call.
     """
     schema = input_schema or T.StructType(
         [
@@ -108,6 +119,12 @@ def start_incremental_dedup(
             )
         finally:
             fresh.unpersist()
+        # cadence: compact AFTER this epoch's digest append is durable,
+        # so a crash during compaction can never lose a digest (the
+        # pre-compact backup holds the uncompacted state, see
+        # compact_seen_state's swap protocol)
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            compact_seen_state(batch.sparkSession, out_dir)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

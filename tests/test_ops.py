@@ -498,17 +498,100 @@ def test_dup_clusters_star_long_chain(spark):
     assert sum(r["is_keeper"] for r in out) == 1
 
 
-def test_dup_clusters_rejects_string_ids(spark):
-    """String/uuid ids would cast to all-NULL labels and silently mark
-    every doc a non-keeper — must fail loudly instead."""
+def test_dup_clusters_string_ids(spark):
+    """String ids route through md5 surrogates; the cluster label is
+    the LEXICOGRAPHIC-min original id per component, keepers included
+    — for both CC algorithms, on a chain component (propagation must
+    cross surrogate order) plus a singleton."""
     from pdfwf_spark.operators.dedup import dup_clusters, dup_clusters_star
 
-    nodes = spark.createDataFrame([("a",), ("b",)], "doc_id string")
-    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
-    with pytest.raises(TypeError, match="integral"):
-        dup_clusters(nodes, pairs)
-    with pytest.raises(TypeError, match="integral"):
-        dup_clusters_star(nodes, pairs)
+    nodes = spark.createDataFrame(
+        [("u:b",), ("u:a",), ("u:c",), ("u:z",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("u:b", "u:c"), ("u:c", "u:a")], "id_a string, id_b string"
+    )
+    for fn in (dup_clusters, dup_clusters_star):
+        out = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+               for r in fn(nodes, pairs).collect()}
+        assert out == {
+            "u:a": ("u:a", 1), "u:b": ("u:a", 0), "u:c": ("u:a", 0),
+            "u:z": ("u:z", 1),
+        }
+        assert fn(nodes, pairs).schema["cluster_id"].dataType.simpleString() == "string"
+
+
+def test_dup_clusters_string_matches_integral_bijection(spark):
+    """Prefixing integral ids with a fixed-width string must yield the
+    image of the integral clustering under that bijection (same
+    components; min-id rep maps to min-string rep because the prefix
+    is order-preserving on zero-padded ids)."""
+    from pdfwf_spark.operators.dedup import dup_clusters
+
+    edges = [(1, 2), (2, 3), (7, 9)]
+    ids = [1, 2, 3, 7, 9, 42]
+    nodes_i = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pairs_i = spark.createDataFrame(edges, "id_a long, id_b long")
+    base = {r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(nodes_i, pairs_i).collect()}
+
+    s = lambda i: f"d{i:04d}"
+    nodes_s = spark.createDataFrame([(s(i),) for i in ids], "doc_id string")
+    pairs_s = spark.createDataFrame(
+        [(s(a), s(b)) for a, b in edges], "id_a string, id_b string"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_clusters(nodes_s, pairs_s).collect()}
+    assert got == {s(i): s(c) for i, c in base.items()}
+
+
+def test_cap_hot_groups_salt_mode(spark):
+    """Salt mode: groups <= cap keep salt 0; a group of n gets
+    ceil(n/cap) sub-buckets; every row is KEPT (no recall cliff) and
+    the salt is a deterministic md5 function of the row key."""
+    from pdfwf_spark.operators.dedup import cap_hot_groups
+
+    rows = [("g1", i) for i in range(10)] + [("g2", i) for i in range(100, 103)]
+    df = spark.createDataFrame(rows, "bucket string, doc_id long")
+    out = cap_hot_groups(df, ["bucket"], cap=4, mode="salt", salt_key="doc_id")
+    pdf = out.toPandas()
+    assert len(pdf) == len(rows)  # nothing dropped
+    g1 = pdf[pdf.bucket == "g1"]
+    assert set(g1._salt) <= set(range(3))  # ceil(10/4) = 3 sub-buckets
+    assert (pdf[pdf.bucket == "g2"]._salt == 0).all()
+    # determinism: same input -> same salts
+    pdf2 = cap_hot_groups(
+        df, ["bucket"], cap=4, mode="salt", salt_key="doc_id"
+    ).toPandas()
+    assert sorted(map(tuple, pdf.values.tolist())) == sorted(
+        map(tuple, pdf2.values.tolist())
+    )
+    with pytest.raises(ValueError, match="salt_key"):
+        cap_hot_groups(df, ["bucket"], cap=4, mode="salt")
+    with pytest.raises(ValueError, match="mode"):
+        cap_hot_groups(df, ["bucket"], cap=4, mode="shrug")
+
+
+def test_lsh_salted_recall_between_drop_and_uncapped(spark):
+    """Salt-split candidate pairs must be a superset of drop-mode
+    pairs (same cap) and a subset of the uncapped pairs — the smooth
+    middle of the recall/work trade."""
+    from pdfwf_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(12)]
+        + [(100 + i, f"unique text number {i} with words w{i} x{i} y{i} z{i}")
+           for i in range(4)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs)
+    pairs = lambda df: {(r["id_a"], r["id_b"]) for r in df.collect()}
+    uncapped = pairs(lsh_candidate_pairs(sigs, max_bucket_size=None))
+    dropped = pairs(lsh_candidate_pairs(sigs, max_bucket_size=5))
+    salted = pairs(lsh_candidate_pairs(sigs, max_bucket_size=5, cap_mode="salt"))
+    assert dropped <= salted <= uncapped
+    assert salted  # the 12-doc hot bucket still yields intra-sub-bucket pairs
+    assert salted != uncapped  # but not all of them (it actually split)
 
 
 def test_hashed_classifier_score(spark):

@@ -402,6 +402,59 @@ def test_seen_state_compaction_preserves_dedup(spark, tmp_path):
     assert kept == {0, 10, 30, 100}  # alpha replay blocked, delta kept
 
 
+def test_incremental_dedup_auto_compaction(spark, tmp_path):
+    """compact_every=N must compact INSIDE the stream (foreachBatch
+    serializes callbacks, so the swap is safe) without changing what
+    gets deduped: same kept docs as an uncompacted run, and the seen
+    table ends bounded at the compaction bucket count instead of one
+    file per epoch."""
+    import glob
+
+    from pdfwf_spark.streaming.dedup import start_incremental_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+
+    # 4 single-file epochs: dup within, dup across, fresh content
+    epochs = [
+        [(0, "alpha body"), (1, "alpha body")],
+        [(2, "beta body")],
+        [(3, "alpha body"), (4, "gamma body")],
+        [(5, "beta body"), (6, "delta body")],
+    ]
+    for rows in epochs:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    q = start_incremental_dedup(
+        spark, src, out, max_files_per_trigger=1, compact_every=2
+    )
+    q.awaitTermination()
+
+    docs = spark.read.parquet(f"{out}/docs")
+    kept = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert kept == {
+        0: "alpha body", 2: "beta body", 4: "gamma body", 6: "delta body"
+    }
+    seen = spark.read.parquet(f"{out}/seen")
+    assert seen.count() == seen.select("digest").distinct().count() == 4
+    # last compaction fired at epoch 2; epoch-3 appends sit on top of
+    # the 16 compacted buckets — far fewer than an uncompacted history
+    # and, crucially, re-compactable: a replayed epoch after compaction
+    # still appends nothing
+    spark.createDataFrame(
+        [(9, "alpha body")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = start_incremental_dedup(
+        spark, src, out, max_files_per_trigger=1, compact_every=1
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(f"{out}/docs").count() == 4  # nothing new
+    n_files = len(glob.glob(f"{out}/seen/*.parquet"))
+    assert n_files <= 16  # fully compacted on the final epoch
+
+
 def test_seen_state_compaction_empty(spark, tmp_path):
     from pdfwf_spark.streaming.dedup import compact_seen_state
 
