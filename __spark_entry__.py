@@ -29,6 +29,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Synthetic media payloads as a MATERIALIZED parquet fixture,
+    built once per (sf, kind) and reused — so the mm_* queries (and
+    the bench) measure the DECODE operator, not per-doc Python payload
+    synthesis (r4 verdict: synthesis was ~90% of mm_media_meta's bench
+    wall and mis-attributed harness cost to the operator). Payloads
+    are pure functions of doc_id, so the fixture is deterministic and
+    the oracles are unchanged. Local-posix _SUCCESS gate is fine here:
+    this fixture IS test/bench harness, not engine."""
+    import os
+
+    from pdfwf_spark.operators import multimodal as mm
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
+    builders = {
+        "fake": mm.make_fake_media_batch,
+        "real": mm.make_real_media_batch,
+        "png": lambda ids: [mm.make_real_png(i) for i in ids],
+        "video": lambda ids: [mm.make_fake_video(i) for i in ids],
+    }
+    build_batch = builders[kind]
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/pdfwf_media/{sfname}_{kind}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import pandas as pd
+
+        docs = repartition_for_scan(_t(spark, sf_dir, "documents"))
+
+        def build(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].tolist()
+                yield pd.DataFrame({"doc_id": ids, "content": build_batch(ids)})
+
+        (
+            docs.select("doc_id")
+            .mapInPandas(build, "doc_id long, content binary")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic transcripts of input_hint shape derived from the
     driver's documents table: payload family cycles by doc_id (html
@@ -634,24 +676,12 @@ def _q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing (decode stubbed; payloads built and
     checksummed numpy-vectorized per Arrow batch). Oracle-checked: the
     fake media is a pure function of doc_id, so DuckDB reproduces the
-    decoded header fields AND the byte checksum arithmetically."""
-    from pdfwf_spark.operators.multimodal import decode_media, make_fake_media_batch
+    decoded header fields AND the byte checksum arithmetically.
+    Payloads come from the materialized fixture (_media_table), so the
+    measured work is the decode operator."""
+    from pdfwf_spark.operators.multimodal import decode_media
 
-    import pandas as pd
-
-    docs = _t(spark, sf_dir, "documents")
-    from pdfwf_spark.operators.partitioning import repartition_for_scan
-    docs = repartition_for_scan(docs)
-
-    def build(batches):
-        for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            yield pd.DataFrame(
-                {"doc_id": ids, "content": make_fake_media_batch(ids)}
-            )
-
-    media = docs.select("doc_id").mapInPandas(build, "doc_id long, content binary")
-    return decode_media(media, fake=True)
+    return decode_media(_media_table(spark, sf_dir, "fake"), fake=True)
 
 
 def _q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,22 +690,9 @@ def _q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero crossings, vectorized per Arrow batch. The fake bodies are
     (doc_id*mult + i) % 251 sequences, so the oracle reproduces every
     feature arithmetically."""
-    import pandas as pd
+    from pdfwf_spark.operators.multimodal import media_features
 
-    from pdfwf_spark.operators.multimodal import make_fake_media_batch, media_features
-    from pdfwf_spark.operators.partitioning import repartition_for_scan
-
-    docs = repartition_for_scan(_t(spark, sf_dir, "documents"))
-
-    def build(batches):
-        for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            yield pd.DataFrame(
-                {"doc_id": ids, "content": make_fake_media_batch(ids)}
-            )
-
-    media = docs.select("doc_id").mapInPandas(build, "doc_id long, content binary")
-    return media_features(media, fake=True)
+    return media_features(_media_table(spark, sf_dir, "fake"), fake=True)
 
 
 def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,22 +701,9 @@ def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-sum checksum — the mapInPandas shape an ffmpeg-backed
     sampler would use. Frame bodies are arithmetic in doc_id, so the
     oracle replays frame boundaries and checksums exactly."""
-    import pandas as pd
+    from pdfwf_spark.operators.multimodal import sample_frames
 
-    from pdfwf_spark.operators.multimodal import make_fake_video, sample_frames
-    from pdfwf_spark.operators.partitioning import repartition_for_scan
-
-    docs = repartition_for_scan(_t(spark, sf_dir, "documents"))
-
-    def build(batches):
-        for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            yield pd.DataFrame(
-                {"doc_id": ids, "content": [make_fake_video(i) for i in ids]}
-            )
-
-    media = docs.select("doc_id").mapInPandas(build, "doc_id long, content binary")
-    return sample_frames(media, every_n=2)
+    return sample_frames(_media_table(spark, sf_dir, "video"), every_n=2)
 
 
 def _q_mm_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,23 +713,23 @@ def _q_mm_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces every decoded field AND the whole-file byte checksum
     arithmetically — including the little-endian multi-byte header
     fields' per-byte sums."""
-    from pdfwf_spark.operators.multimodal import decode_media, make_real_media_batch
+    from pdfwf_spark.operators.multimodal import decode_media
 
-    import pandas as pd
+    return decode_media(_media_table(spark, sf_dir, "real"), fake=False)
 
-    docs = _t(spark, sf_dir, "documents")
-    from pdfwf_spark.operators.partitioning import repartition_for_scan
-    docs = repartition_for_scan(docs)
 
-    def build(batches):
-        for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            yield pd.DataFrame(
-                {"doc_id": ids, "content": make_real_media_batch(ids)}
-            )
+def _q_mm_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG header codec (r5, closing the last r3 punch-list item):
+    structurally valid PNGs (real zlib CRC32 chunks) decoded by the
+    vectorized IHDR parse under strict=True — a valid PNG no longer
+    trips the absent-codec path. checksum is dropped from the
+    contract because CRC32 bytes are not arithmetically expressible
+    in the SQL oracle; mm_media_real covers checksum plumbing."""
+    from pdfwf_spark.operators.multimodal import decode_media
 
-    media = docs.select("doc_id").mapInPandas(build, "doc_id long, content binary")
-    return decode_media(media, fake=False)
+    return decode_media(
+        _media_table(spark, sf_dir, "png"), fake=False, strict=True
+    ).drop("checksum")
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1280,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdfish_parity": _q_extract_pdfish_parity,
         "mm_media_meta": _q_mm_media_meta,
         "mm_media_real": _q_mm_media_real,
+        "mm_media_png": _q_mm_media_png,  # r5: PNG IHDR codec
         # -- dedup family (one representative per algorithm)
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sig": _q_dedup_minhash_sig,
@@ -1303,12 +1308,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _q_emb_ivf_topk,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
-        "text_fingerprint": _q_text_fingerprint,
         "pack_concat": _q_pack_concat,
         "sample_split": _q_sample_split,
         # ---------------- below the driver's 50-row fold ----------------
-        # (text_term_df + dedup_passages recorded green in the r04
-        # driver window; moved below to make room for the r5 headliners)
+        # (text_fingerprint, text_term_df + dedup_passages recorded green
+        # in the r04 driver window; moved below for the r5 headliners)
+        "text_fingerprint": _q_text_fingerprint,
         "text_term_df": _q_text_term_df,
         "dedup_passages": _q_dedup_passages,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
@@ -2843,6 +2848,16 @@ def oracle_sql() -> dict[str, str]:
                               range(0, ns), i -> (doc_id * 17 + i) % 251))
                     END) % 1000000007)::BIGINT AS checksum
             FROM m
+        """,
+        # PNG header decode: every field is a pure function of doc_id
+        # (file layout: 8 sig + 25 IHDR + 12 IEND = 45 bytes); checksum
+        # excluded — CRC32 isn't SQL-arithmetic (mm_media_real covers it)
+        "mm_media_png": """
+            SELECT doc_id, 'image' AS media_type, 45::BIGINT AS n_bytes,
+                   (1 + doc_id % 7)::INT AS width,
+                   (1 + doc_id % 6)::INT AS height,
+                   NULL::INT AS sample_rate, NULL::INT AS n_samples
+            FROM documents
         """,
         "mm_media_real": """
             WITH m AS (

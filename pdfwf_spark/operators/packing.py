@@ -133,25 +133,43 @@ def _greedy_kernel(budget: int):
     return pack
 
 
+#: auto-sizing target for pack_greedy buckets: each applyInPandas
+#: group materializes (key, n) rows in one pandas frame — 1M rows is
+#: tens of MB, comfortably executor-sized with headroom for the numpy
+#: working set, while keeping groups big enough that the packing
+#: efficiency loss at bucket boundaries (< 1 sequence per bucket) is
+#: negligible.
+DEFAULT_PACK_ROWS_PER_BUCKET = 1_000_000
+
+
 def pack_greedy(
     df: DataFrame,
     budget: int,
     key_col: str = "doc_id",
     n_col: str = "n_tokens",
-    n_buckets: int = 8,
+    n_buckets: int | None = 8,
+    target_rows_per_bucket: int = DEFAULT_PACK_ROWS_PER_BUCKET,
 ) -> DataFrame:
     """Next-fit whole-document packing.
 
     One applyInPandas group per pack bucket; the kernel is a single
     numpy pass over the bucket's (hash-ordered) lengths. Buckets are
     sized by n_buckets, so the per-group memory is corpus/n_buckets —
-    at 100 TB you raise n_buckets so each bucket stays executor-sized,
-    and the pass stays O(bucket). Python is unavoidable here (next-fit
-    is a recursion over all prior placements), so it runs once per
-    DOCUMENT-LENGTH ROW, never per token, in Arrow batches.
+    at 100 TB each bucket must stay executor-sized, and the pass stays
+    O(bucket). Python is unavoidable here (next-fit is a recursion
+    over all prior placements), so it runs once per DOCUMENT-LENGTH
+    ROW, never per token, in Arrow batches.
+
+    n_buckets=None AUTO-SIZES from the data: one count() pass, then
+    ceil(count / target_rows_per_bucket) buckets — so callers at any
+    scale get executor-sized groups without hand-tuning (the explicit
+    default 8 is fixture-scale and kept for plan-stable tests/oracles).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if n_buckets is None:
+        n_rows = df.count()
+        n_buckets = max(1, -(-n_rows // target_rows_per_bucket))
     bucket, order_key = _bucket_and_order(df, key_col, n_buckets)
     key_field = df.schema[key_col]
     schema = T.StructType(

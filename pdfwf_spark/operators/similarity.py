@@ -190,6 +190,7 @@ def ivf_assign(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate: bool = True,
 ) -> DataFrame:
     """IVF coarse quantization with DETERMINISTIC centroids: the
     vectors with id < n_centroids act as centroids (reproducible in
@@ -208,13 +209,16 @@ def ivf_assign(
         F.col("_norm").alias("_cnorm"),
     )
     # a non-0-based / non-numeric id space would silently yield an
-    # EMPTY centroid set (and an empty inner-join result downstream)
-    n_found = cents.limit(n_centroids).count()
-    if n_found < n_centroids:
-        raise ValueError(
-            f"ivf_assign expects ids 0..{n_centroids - 1} to exist as "
-            f"centroids; found {n_found}. Remap ids or lower n_centroids."
-        )
+    # EMPTY centroid set (and an empty inner-join result downstream).
+    # validate=False skips the eager plan-build count for callers who
+    # already know their id space (keeps query construction fully lazy)
+    if validate:
+        n_found = cents.limit(n_centroids).count()
+        if n_found < n_centroids:
+            raise ValueError(
+                f"ivf_assign expects ids 0..{n_centroids - 1} to exist as "
+                f"centroids; found {n_found}. Remap ids or lower n_centroids."
+            )
     scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "cos_milli",
         F.round(1000 * _dot(F.col("_vec"), F.col("_cvec"))
@@ -398,6 +402,7 @@ def kmeans_cluster(
     iters: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "literal",
 ) -> tuple[DataFrame, list[list[int]]]:
     """Integer-quantized Lloyd's k-means — the centroid refinement step
     an IVF index runs offline (ivf_assign's id<k seeding is its init).
@@ -417,9 +422,21 @@ def kmeans_cluster(
     Returns (assignment DF (id_col, cluster, dist), final centroids as
     k milli-int lists). tests/test_ops.py pins exact equality against
     a pure-Python/numpy twin.
+
+    assign="literal" (default) embeds the k centroid arrays as plan
+    literals — zero join, ideal while k*dim stays small (<= ~1e4
+    values; beyond that the expression tree itself becomes the
+    bottleneck). assign="broadcast" ships the centroids as a
+    broadcast-joined k-row DataFrame instead: one broadcast-hash
+    cross join + an integer min(struct(dist, cluster)) argmin — the
+    same exact-integer result (pinned by pytest), scaling to large
+    k*dim at the cost of one id-keyed argmin shuffle per iteration
+    (map-side combining, so it moves one row per vector).
     """
     if k <= 0 or iters < 0:
         raise ValueError(f"need k > 0, iters >= 0; got k={k}, iters={iters}")
+    if assign not in ("literal", "broadcast"):
+        raise ValueError(f"assign must be 'literal' or 'broadcast', got {assign!r}")
     q = emb.select(
         F.col(id_col),
         F.transform(
@@ -437,7 +454,7 @@ def kmeans_cluster(
         )
     cents = [list(r["_vm"]) for r in init_rows]
 
-    def assigned() -> DataFrame:
+    def _assigned_literal() -> DataFrame:
         entries = [
             F.struct(
                 F.aggregate(
@@ -459,6 +476,34 @@ def kmeans_cluster(
             best["cluster"].alias("cluster"),
             best["dist"].alias("dist"),
         )
+
+    def _assigned_broadcast() -> DataFrame:
+        # centroids as k broadcast rows; argmin via min(struct(dist,
+        # cluster)) — the identical (dist, cluster) total order the
+        # literal path's sort_array takes, all-integer, so both paths
+        # are bit-equal under any partitioning
+        cdf = emb.sparkSession.createDataFrame(
+            [(j, list(c)) for j, c in enumerate(cents)],
+            "cluster int, _cvec array<bigint>",
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("_vm"), F.col("_cvec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = q.crossJoin(F.broadcast(cdf)).withColumn("_dist", dist)
+        best = scored.groupBy(id_col).agg(
+            F.min(F.struct(F.col("_dist"), F.col("cluster"))).alias("b")
+        )
+        return best.select(
+            F.col(id_col),
+            F.col("b.cluster").alias("cluster"),
+            F.col("b._dist").alias("dist"),
+        )
+
+    assigned = _assigned_literal if assign == "literal" else _assigned_broadcast
 
     for _ in range(iters):
         a = assigned()

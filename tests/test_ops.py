@@ -157,18 +157,44 @@ def test_multimodal_real_bmp_wav_decode(spark):
 def test_multimodal_real_decode_unknown_and_strict(spark):
     """Formats with no codec in this build: 'unknown' rows by default;
     strict=True raises NotImplementedError naming the format (the
-    reference-analog disabled path, oreo.py:245-248)."""
+    reference-analog disabled path, oreo.py:245-248). A PNG signature
+    with a corrupt chunk layout (no IHDR first) is equally unknown."""
     from pdfwf_spark.operators.multimodal import decode_media
 
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64  # no IHDR chunk
     media = spark.createDataFrame(
-        [(0, png), (1, b"garbage")], "doc_id long, content binary"
+        [(0, jpeg), (1, b"garbage"), (2, bad_png)],
+        "doc_id long, content binary",
     )
     out = {r["doc_id"]: r for r in decode_media(media, fake=False).collect()}
-    assert all(out[i]["media_type"] == "unknown" for i in (0, 1))
-    assert out[0]["checksum"] == sum(png) % 1_000_000_007
+    assert all(out[i]["media_type"] == "unknown" for i in (0, 1, 2))
+    assert out[0]["checksum"] == sum(jpeg) % 1_000_000_007
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         decode_media(media, fake=False, strict=True).collect()
+
+
+def test_multimodal_png_header_decode(spark):
+    """make_real_png emits a structurally valid PNG (zlib CRCs); the
+    real decode branch must read width/height off IHDR — vectorized,
+    next to the BMP path — and a truncated signature stays unknown."""
+    from pdfwf_spark.operators.multimodal import decode_media, make_real_png
+
+    rows = [(i, make_real_png(i)) for i in range(10)] + [
+        (99, b"\x89PNG\r\n"),  # truncated signature
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in decode_media(media, fake=False).collect()}
+    for i in range(10):
+        assert out[i]["media_type"] == "image"
+        assert out[i]["width"] == 1 + i % 7
+        assert out[i]["height"] == 1 + i % 6
+        assert out[i]["n_bytes"] == 45
+        assert out[i]["checksum"] == sum(make_real_png(i)) % 1_000_000_007
+    assert out[99]["media_type"] == "unknown"
+    # strict mode accepts valid PNGs now (no NotImplementedError)
+    ok = spark.createDataFrame(rows[:3], "doc_id long, content binary")
+    assert decode_media(ok, fake=False, strict=True).count() == 3
 
 
 def test_tie_key_jvm_matches_golden_and_disambiguates(spark):
@@ -770,6 +796,32 @@ def test_kmeans_integer_twin_exact(spark):
         want[i] = (j, d)
     assert got == want
     assert cents == c
+
+
+def test_kmeans_broadcast_assign_matches_literal(spark):
+    """The broadcast-join assignment path (for large k*dim, where
+    literal centroid arrays would bloat the plan) must be bit-equal to
+    the literal path: same integer argmin total order (dist, cluster),
+    same centroids after every update."""
+    import numpy as np
+
+    from pdfwf_spark.operators.similarity import kmeans_cluster
+
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(50, 6).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)
+
+    a_lit, c_lit = kmeans_cluster(emb, k=4, iters=3, assign="literal")
+    a_bc, c_bc = kmeans_cluster(emb, k=4, iters=3, assign="broadcast")
+    assert c_lit == c_bc
+    lit = {r["vec_id"]: (r["cluster"], r["dist"]) for r in a_lit.collect()}
+    bc = {r["vec_id"]: (r["cluster"], r["dist"]) for r in a_bc.collect()}
+    assert lit == bc
+    with pytest.raises(ValueError, match="assign"):
+        kmeans_cluster(emb, k=4, iters=1, assign="nope")
 
 
 def test_kmeans_inertia_non_increasing(spark):

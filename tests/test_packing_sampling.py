@@ -91,6 +91,21 @@ def test_pack_greedy_no_straddle_and_reference(spark, docs_df):
         assert (r["seq_idx"], r["seq_offset"], r["truncated"]) == expect, doc_id
 
 
+def test_pack_greedy_auto_buckets(spark, docs_df):
+    """n_buckets=None sizes buckets from the data: 400 rows at
+    target_rows_per_bucket=150 -> ceil(400/150) = 3 buckets, and the
+    result must equal an explicit n_buckets=3 run (auto-sizing only
+    picks the number; the packing itself is unchanged)."""
+    auto = pack_greedy(
+        docs_df, BUDGET, n_buckets=None, target_rows_per_bucket=150
+    )
+    assert {r["bucket"] for r in auto.collect()} <= set(range(3))
+    explicit = pack_greedy(docs_df, BUDGET, n_buckets=3)
+    assert sorted(map(tuple, auto.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, explicit.collect()), key=lambda t: t[0]
+    )
+
+
 def test_pack_greedy_sequences_dense(spark, docs_df):
     out = pack_greedy(docs_df, BUDGET, n_buckets=2)
     per_bucket = (
