@@ -1386,7 +1386,13 @@ def _kmeans_ctes(k: int = 8, iters: int = 3) -> list:
     the milli quantization agrees. Ends with `fin`: every vector's
     integer L2 to every refined centroid."""
     ctes = [
-        "v AS (SELECT vec_id, list_transform(embedding,"
+        # ::DOUBLE[] BEFORE the multiply: the operator quantizes in
+        # float64 (F.round(1000 * x.cast('double'))); multiplying the
+        # raw FLOAT column keeps float32 precision, where e.g.
+        # 1000 * 0.31949999928474426f lands exactly on 319.5 and
+        # rounds to 320 instead of 319 (caught by the sf0.1 sweep,
+        # vec_id 1879 dim 17)
+        "v AS (SELECT vec_id, list_transform(embedding::DOUBLE[],"
         " x -> CAST(round(1000 * x) AS BIGINT)) AS vm FROM embeddings)",
         "dims AS (SELECT unnest(range(1,"
         " (SELECT max(len(vm)) FROM v) + 1)) AS i)",

@@ -57,6 +57,8 @@ HEADLINE = [
     "dedup_lsh_pairs",
     "dedup_lsh_verified",
     "dedup_clusters",
+    "dedup_clusters_str",
+    "dedup_lsh_pairs_salted",
     "contam_benchmark",
     "text_repetition",
     "pii_redact",
@@ -84,6 +86,7 @@ HEADLINE = [
     "p6_meta_projection",
     "f7_markdown_compat",
     "mm_media_meta",
+    "mm_media_png",
 ]
 
 

@@ -590,6 +590,33 @@ def surrogate_id(key: Column) -> Column:
     ).cast("long")
 
 
+def exact_surrogate_ids(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact, collision-FREE numeric surrogates: (id_col, sid long)
+    with sid = contiguous 0..n-1 — the escape hatch when surrogate_id's
+    60-bit md5 space collides on a corpus (the _cc_on_surrogates
+    verification names this helper).
+
+    zipWithIndex shape: one count pass over partition sizes + one
+    map pass, NO shuffle — the legitimate RDD use-case (per-partition
+    index arithmetic no DataFrame op expresses). Caveat vs the md5
+    surrogate: sids depend on partition layout, so they are exact
+    within a run but NOT stable across reruns — join the mapping back
+    to original ids before persisting anything keyed on them.
+    """
+    from pyspark.sql import types as T
+
+    id_field = docs.schema[id_col]
+    schema = T.StructType(
+        [id_field, T.StructField("sid", T.LongType(), False)]
+    )
+    rdd = (
+        docs.select(id_col).rdd
+        .zipWithIndex()
+        .map(lambda t: (t[0][0], t[1]))
+    )
+    return docs.sparkSession.createDataFrame(rdd, schema)
+
+
 def _cc_on_surrogates(
     cc_fn,
     docs: DataFrame,
@@ -627,7 +654,8 @@ def _cc_on_surrogates(
             raise ValueError(
                 f"surrogate_id collision: {r['n_id']} distinct ids -> "
                 f"{r['n_sid']} distinct surrogates; clusters would merge. "
-                "Use exact surrogates (zipWithIndex-style) for this corpus."
+                "Map ids through exact_surrogate_ids() and run the "
+                "cluster op on the integral sids for this corpus."
             )
     sdocs = orig.select(F.col("_sid").alias(id_col))
     spairs = pairs.select(

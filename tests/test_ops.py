@@ -571,6 +571,19 @@ def test_dup_clusters_string_matches_integral_bijection(spark):
     assert got == {s(i): s(c) for i, c in base.items()}
 
 
+def test_exact_surrogate_ids(spark):
+    """Collision-free surrogates: bijective over the input ids,
+    contiguous 0..n-1, original id column type preserved."""
+    from pdfwf_spark.operators.dedup import exact_surrogate_ids
+
+    docs = spark.createDataFrame(
+        [(f"u:{i}",) for i in range(37)], "doc_id string"
+    ).repartition(5)
+    m = exact_surrogate_ids(docs).collect()
+    assert sorted(r["sid"] for r in m) == list(range(37))
+    assert {r["doc_id"] for r in m} == {f"u:{i}" for i in range(37)}
+
+
 def test_cap_hot_groups_salt_mode(spark):
     """Salt mode: groups <= cap keep salt 0; a group of n gets
     ceil(n/cap) sub-buckets; every row is KEPT (no recall cliff) and

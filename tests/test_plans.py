@@ -120,6 +120,21 @@ def test_simhash_band_pairs_equi_join_and_hash_agg(spark):
     assert "HashAggregate" in plan
 
 
+def test_lsh_salted_join_keys_include_salt(spark):
+    """Salt mode must keep the candidate join an EQUI-join whose key
+    set includes the _salt column (that is what bounds a hot bucket's
+    contribution), with no cartesian fallback — and the salting window
+    must ride the same hash partitioning as the join."""
+    from pdfwf_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = minhash_signatures(docs)
+    plan = _plan(lsh_candidate_pairs(sigs, max_bucket_size=2, cap_mode="salt"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_salt" in plan  # salt participates in the join keys
+
+
 def test_rebalance_index_avoids_single_partition_window(spark):
     """The contiguous index must come from per-partition windows +
     broadcast offsets — NEVER a global Window over one partition
