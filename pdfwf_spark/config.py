@@ -91,6 +91,11 @@ class CurateConfig:
     text_col: str = "text"
     near_dup_threshold: float | None = 0.05
     cluster_algorithm: str = "labelprop"
+    #: hot band-bucket handling for the LSH candidate pass: "drop"
+    #: (bounded work, recall cliff inside dropped buckets) or "salt"
+    #: (split into ceil(n/cap) md5 sub-buckets — bounded work, smooth
+    #: recall; the setting for boilerplate-heavy corpora)
+    cap_mode: str = "drop"
     #: which doc survives a duplicate cluster: "min_id" (deterministic
     #: arbitrary) or "longest" (keep-best-by-token-count re-election)
     keeper_policy: str = "min_id"
@@ -117,6 +122,8 @@ class CurateConfig:
             raise ValueError(
                 f"keeper_policy must be min_id|longest, got {self.keeper_policy!r}"
             )
+        if self.cap_mode not in ("drop", "salt"):
+            raise ValueError(f"cap_mode must be drop|salt, got {self.cap_mode!r}")
         if self.near_dup_threshold is not None and not (
             0 < self.near_dup_threshold <= 1
         ):

@@ -83,7 +83,7 @@ def curate(
     if cfg.near_dup_threshold is not None:
         pairs = lsh_verified_neardups(
             out, text_col=text_col, id_col=id_col,
-            threshold=cfg.near_dup_threshold,
+            threshold=cfg.near_dup_threshold, cap_mode=cfg.cap_mode,
         )
         cluster_fn = (
             dup_clusters_star if cfg.cluster_algorithm == "star" else dup_clusters

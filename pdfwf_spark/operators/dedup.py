@@ -523,9 +523,13 @@ def lsh_verified_neardups(
     rows_per_band: int = 2,
     threshold: float = 0.05,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    cap_mode: str = "drop",
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash-LSH candidate
     generation -> exact Jaccard verification ON CANDIDATES ONLY.
+    cap_mode="salt" splits hot band buckets instead of dropping them
+    (see cap_hot_groups) — the recall-preserving setting for corpora
+    with heavy boilerplate.
 
     This is the composition that scales to 100 TB: the quadratic
     shingle self-join of ngram_jaccard_pairs never touches the full
@@ -537,7 +541,7 @@ def lsh_verified_neardups(
     """
     sigs = minhash_signatures(docs, text_col, id_col, k, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band,
-                                max_bucket_size)
+                                max_bucket_size, cap_mode=cap_mode)
     sh = exploded_shingles(docs, text_col, id_col, shingle_n)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # intersection size per candidate pair: attach a-side shingles,

@@ -331,6 +331,7 @@ def bucketed_neardup_pairs(
     seed: int = 42,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     log_drops: bool = False,
+    cap_mode: str = "drop",
 ) -> DataFrame:
     """Near-duplicate pairs (cosine >= threshold) among same-bucket
     vectors — the 100 TB path: per-table bucket equi-joins bound the
@@ -344,6 +345,9 @@ def bucketed_neardup_pairs(
     buckets larger than the cap are dropped before the self-join —
     without it one degenerate bucket (e.g. the cell all zero-vectors
     hash into) is quadratic within itself at corpus scale.
+    cap_mode="salt" splits hot buckets into ceil(n/cap) md5
+    sub-buckets instead (bounded work, no recall cliff — see
+    dedup.cap_hot_groups).
     """
     from pdfwf_spark.operators.partitioning import repartition_for_scan
 
@@ -367,14 +371,20 @@ def bucketed_neardup_pairs(
     if log_drops:
         _log_drops(exploded, ["tbl", "bucket"], max_bucket_size,
                    "bucketed_neardup_pairs")
-    exploded = cap_hot_groups(exploded, ["tbl", "bucket"], max_bucket_size)
+    exploded = cap_hot_groups(
+        exploded, ["tbl", "bucket"], max_bucket_size,
+        mode=cap_mode, salt_key="id",
+    )
+    join_keys = (F.col("a.tbl") == F.col("b.tbl")) & (
+        F.col("a.bucket") == F.col("b.bucket")
+    )
+    if cap_mode == "salt" and max_bucket_size is not None:
+        join_keys = join_keys & (F.col("a._salt") == F.col("b._salt"))
     a, b_ = exploded.alias("a"), exploded.alias("b")
     cands = (
         a.join(
             b_,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+            join_keys & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -538,6 +548,7 @@ def ivf_topk_kmeans(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "literal",
 ) -> DataFrame:
     """IVF top-k over k-means-REFINED cells: kmeans_cluster fits the
     coarse quantizer offline (integer Lloyd's — bit-stable), then both
@@ -550,9 +561,14 @@ def ivf_topk_kmeans(
     n_probe = n_centroids degrades to exact brute force (every cell
     scanned), which the test pins against cosine_topk. Output contract
     matches cosine_topk/ivf_topk: (q_id, n_id, rank, cos_milli).
+
+    `assign` is forwarded to the kmeans FIT (where literal centroids
+    cost iters x plan-embeds); the one-shot cell ROUTING below stays
+    literal — a single k-array embed, bounded by the same k*dim <=
+    ~1e4 guidance as kmeans_cluster's literal path.
     """
     _, cents = kmeans_cluster(emb, k=n_centroids, iters=iters,
-                              id_col=id_col, vec_col=vec_col)
+                              id_col=id_col, vec_col=vec_col, assign=assign)
 
     def cell_of(df: DataFrame, out: str) -> DataFrame:
         q = df.withColumn(

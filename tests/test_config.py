@@ -229,6 +229,18 @@ def test_curate_string_keyed_corpus(spark):
     }
     assert rows2 == set(rows)
 
+    # salt-split cap mode flows through curate() unchanged on an
+    # uncontended corpus (no bucket over the cap -> identical result)
+    cfg_salt = CurateConfig(
+        input="/in", output="/out", id_col="url",
+        near_dup_threshold=0.5, cap_mode="salt",
+        top2gram_max=None, redact_pii=False,
+    )
+    rows3 = {r["url"] for r in curate(docs, cfg_salt).curated.collect()}
+    assert rows3 == set(rows)
+    with pytest.raises(ValueError, match="cap_mode"):
+        CurateConfig(input="/in", output="/out", cap_mode="shrug")
+
 
 def test_curate_config_keeper_validation():
     import pytest as _pytest

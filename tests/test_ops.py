@@ -837,6 +837,29 @@ def test_kmeans_broadcast_assign_matches_literal(spark):
         kmeans_cluster(emb, k=4, iters=1, assign="nope")
 
 
+def test_ivf_kmeans_assign_broadcast_same_topk(spark):
+    """Forwarding assign='broadcast' to the kmeans fit must leave the
+    IVF result identical (the fit is bit-equal, so cells and ranking
+    are too)."""
+    import numpy as np
+
+    from pdfwf_spark.operators.similarity import ivf_topk_kmeans
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(40, 4).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    lit = sorted(map(tuple, ivf_topk_kmeans(emb, qs, k=3, n_centroids=4,
+                                            iters=2, n_probe=2).collect()))
+    bc = sorted(map(tuple, ivf_topk_kmeans(emb, qs, k=3, n_centroids=4,
+                                           iters=2, n_probe=2,
+                                           assign="broadcast").collect()))
+    assert lit == bc
+
+
 def test_kmeans_inertia_non_increasing(spark):
     import numpy as np
     from pyspark.sql import functions as F
