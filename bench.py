@@ -45,6 +45,8 @@ HEADLINE = [
     "a2_running_sum",
     "a4_throughput",
     "sessionize",
+    "ev_asof_join",
+    "ev_range_join",
     "w_topk_per_group",
     "dedup_exact",
     "dedup_minhash_sig",
