@@ -62,12 +62,27 @@ def _media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                 ids = pdf["doc_id"].tolist()
                 yield pd.DataFrame({"doc_id": ids, "content": build_batch(ids)})
 
+        # build-to-unique-dir + rename-into-place: two concurrent
+        # sessions (driver + bench) building the same fixture produce
+        # identical deterministic content, but overwriting one path
+        # concurrently can interleave commits — the rename makes
+        # publication atomic and the loser just reuses the winner's
+        staging = f"{path}.build-{os.getpid()}"
         (
             docs.select("doc_id")
             .mapInPandas(build, "doc_id long, content binary")
             .write.mode("overwrite")
-            .parquet(path)
+            .parquet(staging)
         )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            try:
+                os.rename(staging, path)
+            except OSError:
+                pass  # another builder won the race; use theirs
+        if os.path.isdir(staging):
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(path)
 
 
