@@ -1075,6 +1075,22 @@ def _q_corpus_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(n, "n", [0.5, 0.9, 0.99])
 
 
+def _q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP exact quantiles (sketch.grouped_histogram_quantiles):
+    tokens-per-doc p50/p90/p99 per source — the per-domain length
+    report a curation job emits. No driver-side count: group sizes are
+    whole-partition window sums, interpolation inputs are per-row
+    columns, shuffle is O(groups x distinct values per group). Same
+    type-7 interpolation as the global path; oracle is DuckDB's
+    grouped quantile_cont."""
+    from pdfwf_spark.operators.sketch import grouped_histogram_quantiles
+    from pdfwf_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select("source", token_count(F.col("text")).alias("n"))
+    return grouped_histogram_quantiles(n, ["source"], "n", [0.5, 0.9, 0.99])
+
+
 def _q_corpus_quantiles_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketched quantiles via deterministic md5-bucket sampling
     (sketch.hash_sample_quantiles): the sample predicate depends only
@@ -1338,7 +1354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_limit": _q_p2_limit,
         "p3_readability_filter": _q_p3_readability_filter,
         "f1_doi_extract": _q_f1_doi_extract,
-        "f2_blank_collapse": _q_f2_blank_collapse,
         "f4_abstract_threshold": _q_f4_abstract_threshold,
         "p6_meta_projection": _q_p6_meta_projection,
         "f7_markdown_compat": _q_f7_markdown_compat,
@@ -1378,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "pii_redact": _q_pii_redact,
         "corpus_quantiles": _q_corpus_quantiles,
+        "grouped_quantiles": _q_grouped_quantiles,  # r5: per-group quantiles
         "text_clf_score": _q_text_clf_score,
         "web_domain_counts": _q_web_domain_counts,
         # -- embedding similarity
@@ -1389,8 +1405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _q_sample_split,
         # ---------------- below the driver's 50-row fold ----------------
         # (these were recorded green in the r04 driver window; moved
-        # below to make room for the r5 headliners. f3/f10 are scalar-
-        # function variants of in-window f1/f2/f4/f7 siblings.)
+        # below to make room for the r5 headliners. f2/f3/f10 are
+        # scalar-function variants of in-window f1/f4/f7 siblings.)
+        "f2_blank_collapse": _q_f2_blank_collapse,
         "f3_ws_collapse": _q_f3_ws_collapse,
         "f10_json_meta": _q_f10_json_meta,
         "text_fingerprint": _q_text_fingerprint,
@@ -2457,6 +2474,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(1000 * quantile_cont(n, 0.99)) AS BIGINT) AS p99_milli,
                    COUNT(*) AS n_docs
             FROM n
+        """,
+        # per-group form: grouped quantile_cont is the oracle for the
+        # windowed-histogram implementation
+        "grouped_quantiles": rf"""
+            WITH n AS (
+              SELECT source, len(list_filter({_TOKS}, x -> x <> '')) AS n
+              FROM documents)
+            SELECT source,
+                   CAST(ROUND(1000 * quantile_cont(n, 0.5)) AS BIGINT) AS p50_milli,
+                   CAST(ROUND(1000 * quantile_cont(n, 0.9)) AS BIGINT) AS p90_milli,
+                   CAST(ROUND(1000 * quantile_cont(n, 0.99)) AS BIGINT) AS p99_milli,
+                   COUNT(*) AS n_rows
+            FROM n GROUP BY source
         """,
         # identical ordered statistics, different physical plan on the
         # Spark side (value-histogram instead of sort) — same oracle

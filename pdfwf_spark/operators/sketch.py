@@ -96,6 +96,66 @@ def histogram_quantiles(
     return cum.agg(*sel, F.lit(n).cast("long").alias("n_rows"))
 
 
+def grouped_histogram_quantiles(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, qs: Sequence[float]
+) -> DataFrame:
+    """histogram_quantiles PER GROUP (per-domain length percentiles,
+    per-language token budgets — the grouped form curation reports
+    actually need), with NO driver-side count: the global version
+    collects n once, which cannot work per group, so here n is a
+    whole-partition window sum and every interpolation input
+    (k_lo = floor((n-1)q), frac) is a per-row column constant within
+    its group.
+
+    Plan shape: groupBy(group, value).count() -> two windows over the
+    (group, distinct-value) table (whole-partition n + running
+    cumulative count; both share the group hash partitioning) -> one
+    conditional-aggregate pass per group. Shuffle is O(groups x
+    distinct-values-per-group); no global order anywhere (the window
+    sorts within a group's distinct values only). Same type-7
+    interpolation as histogram_quantiles — matches DuckDB's grouped
+    quantile_cont bit-for-bit on integer columns.
+
+    Output: one row per group: group_cols, p<q>_milli..., n_rows.
+    Empty input -> empty output (there are no groups to report).
+    """
+    _check_qs(qs)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use "
+                         "histogram_quantiles for the global form")
+    from pyspark.sql import Window
+
+    gcols = [F.col(c) for c in group_cols]
+    hist = df.groupBy(*gcols, F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wg = Window.partitionBy(*group_cols)
+    wcum = wg.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    e = hist.withColumn("n", F.sum("c").over(wg)).withColumn(
+        "cum", F.sum("c").over(wcum)
+    )
+    aggs = []
+    finals = [*group_cols]
+    for i, q in enumerate(qs):
+        h = (F.col("n") - 1) * F.lit(float(q))
+        k_lo = F.floor(h)
+        frac = h - k_lo
+        aggs += [
+            F.min(F.when(F.col("cum") > k_lo, F.col("v"))).cast("double")
+            .alias(f"_lo{i}"),
+            F.min(F.when(F.col("cum") > k_lo + 1, F.col("v"))).cast("double")
+            .alias(f"_hi{i}"),
+            F.max(frac).alias(f"_fr{i}"),  # constant within the group
+        ]
+        val = F.col(f"_lo{i}") + F.col(f"_fr{i}") * (
+            F.coalesce(F.col(f"_hi{i}"), F.col(f"_lo{i}")) - F.col(f"_lo{i}")
+        )
+        finals.append(F.round(1000 * val).cast("long").alias(_milli_label(q)))
+    aggs.append(F.max("n").cast("long").alias("n_rows"))
+    finals.append(F.col("n_rows"))
+    return e.groupBy(*gcols).agg(*aggs).select(*finals)
+
+
 def hash_sample_quantiles(
     df: DataFrame,
     value_col: str,

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from pdfwf_spark.operators.sketch import (
     approx_quantiles_builtin,
+    grouped_histogram_quantiles,
     hash_sample_quantiles,
     histogram_quantiles,
     mp_quantile_sketch,
@@ -56,6 +57,37 @@ def test_histogram_quantiles_empty(spark):
     got = histogram_quantiles(df, "n", QS).collect()[0]
     assert got["n_rows"] == 0
     assert got["p50_milli"] is None
+
+
+def test_grouped_quantiles_match_per_group_exact(spark, values_df):
+    """Per-group path must equal filter-then-global on every group."""
+    grouped = values_df.withColumn("g", F.col("id") % 3)
+    got = {
+        r["g"]: r
+        for r in grouped_histogram_quantiles(grouped, ["g"], "n", QS).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for g in range(3):
+        sub = grouped.filter(F.col("g") == g)
+        want = histogram_quantiles(sub, "n", QS).collect()[0]
+        for k in ("p50_milli", "p90_milli", "p99_milli", "n_rows"):
+            assert got[g][k] == want[k], (g, k)
+
+
+def test_grouped_quantiles_single_row_groups(spark):
+    # n=1 groups: every quantile is the lone value, no interpolation
+    df = spark.createDataFrame([("a", 7), ("b", 11)], "g string, n long")
+    got = {r["g"]: r for r in
+           grouped_histogram_quantiles(df, ["g"], "n", [0.5, 0.99]).collect()}
+    assert got["a"]["p50_milli"] == 7000 and got["a"]["p99_milli"] == 7000
+    assert got["b"]["p50_milli"] == 11000 and got["b"]["n_rows"] == 1
+
+
+def test_grouped_quantiles_empty_and_guard(spark):
+    df = spark.createDataFrame([], "g string, n long")
+    assert grouped_histogram_quantiles(df, ["g"], "n", QS).count() == 0
+    with pytest.raises(ValueError):
+        grouped_histogram_quantiles(df, [], "n", QS)
 
 
 def test_hash_sample_quantiles_deterministic_and_close(spark, values_df):
