@@ -165,6 +165,28 @@ def _q_p1_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_p1_resume_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 at row granularity (lineage.bloom_filter_uncommitted): when
+    the committed side is per-document ids (10^9+ rows), the bloom
+    bitmap — folded to (word, bit_or) pairs and broadcast — prunes the
+    input WITHOUT shuffling it; only the ~3% 'maybe' subset pays the
+    exact anti-join. The result is exactly the plain anti-join, which
+    is the oracle: committed = the deterministic md5-bucket 45% of
+    doc_ids (sampling-style salt 'ckpt'), survivors = the complement
+    plus true-negative bloom passthroughs."""
+    from pdfwf_spark.operators.lineage import bloom_filter_uncommitted
+    from pdfwf_spark.operators.sampling import _hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    committed = docs.where(
+        _hash_bucket(F.col("doc_id"), "ckpt") < int(0.45 * (1 << 32))
+    ).select("doc_id")
+    out = bloom_filter_uncommitted(
+        docs.select("doc_id", "source"), committed, "doc_id", m_bits=1 << 16, k=2
+    )
+    return out.select("doc_id", "source")
+
+
 def _q_p2_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 — deterministic input limit (convert.py:260-265)."""
     events = _t(spark, sf_dir, "events")
@@ -1351,10 +1373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- core relational / window / function surface
         "w1_turn_ordering": _q_w1_turn_ordering,
         "p1_resume_anti_join": _q_p1_resume_anti_join,
+        "p1_resume_bloom": _q_p1_resume_bloom,  # r5: row-level bloom resume
         "p2_limit": _q_p2_limit,
         "p3_readability_filter": _q_p3_readability_filter,
         "f1_doi_extract": _q_f1_doi_extract,
-        "f4_abstract_threshold": _q_f4_abstract_threshold,
         "p6_meta_projection": _q_p6_meta_projection,
         "f7_markdown_compat": _q_f7_markdown_compat,
         "a1_group_concat": _q_a1_group_concat,
@@ -1405,9 +1427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _q_sample_split,
         # ---------------- below the driver's 50-row fold ----------------
         # (these were recorded green in the r04 driver window; moved
-        # below to make room for the r5 headliners. f2/f3/f10 are
-        # scalar-function variants of in-window f1/f4/f7 siblings.)
+        # below to make room for the r5 headliners. f2/f3/f4/f10 are
+        # scalar-function variants of in-window f1/f7 siblings.)
         "f2_blank_collapse": _q_f2_blank_collapse,
+        "f4_abstract_threshold": _q_f4_abstract_threshold,
         "f3_ws_collapse": _q_f3_ws_collapse,
         "f10_json_meta": _q_f10_json_meta,
         "text_fingerprint": _q_text_fingerprint,
@@ -1752,6 +1775,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT user_id % 16 FROM events
               WHERE event_type = 'signup' AND value > 197)
             GROUP BY 1
+        """,
+        # bloom pre-filter is exact-by-construction: the oracle is the
+        # plain anti-join of documents vs the md5-bucket committed 45%
+        "p1_resume_bloom": f"""
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5('ckpt#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                  >= {int(0.45 * (1 << 32))}
         """,
         "p2_limit": """
             SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 100

@@ -89,3 +89,96 @@ def filter_uncommitted(inputs_with_bucket: DataFrame, lineage: DataFrame) -> Dat
     """
     committed = lineage.select("bucket").distinct()
     return inputs_with_bucket.join(F.broadcast(committed), "bucket", "left_anti")
+
+
+def _bloom_probe_cols(key, m_bits: int, k: int):
+    """k (word_index, bit_mask) probe pairs for one key. Bit j of the
+    filter lives at word j>>6, mask 1<<(j&63); the k bit positions are
+    pmod(xxhash64(key, i), m) — xxhash64's avalanche over the (key,
+    seed-index) tuple gives k effectively-independent hash functions."""
+    out = []
+    for i in range(k):
+        bit = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+        out.append((
+            F.floor(bit / 64).cast("long"),
+            # call_function: the SQL shiftleft takes a column shift
+            # amount; the python wrapper F.shiftleft insists on an int
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod(bit, F.lit(64)).cast("int")
+            ),
+        ))
+    return out
+
+
+def bloom_filter_uncommitted(
+    inputs: DataFrame,
+    committed: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 2,
+) -> DataFrame:
+    """ROW-level resume at the scale where `filter_uncommitted`'s
+    broadcast breaks down: the committed side is per-document ids
+    (10^9+ rows after months of incremental runs), far too big to
+    broadcast, and a plain anti-join would shuffle the ENTIRE 10^12-row
+    input scan on the key. Instead:
+
+      1. Fold the committed keys into a Bloom bitmap stored as a
+         DataFrame of (word_index, 64-bit word) — ≤ m_bits/64 rows
+         regardless of |committed| (one shuffle of (long, long) pairs
+         with map-side partial bit_or; 2^20 bits = 16K rows = 128 KiB).
+      2. Probe every input row with k broadcast LEFT joins on word
+         index — the big side never shuffles, and the probe columns are
+         two longs per row.
+      3. Rows with any probe bit clear are DEFINITELY new: they pass
+         straight through with zero further work. Only the "maybe"
+         subset — true duplicates plus the Bloom false-positive rate,
+         (1 - e^(-k·n/m))^k ≈ 2.9% at k=2, m=8n — pays the exact
+         anti-join, so the key shuffle moves ~3% of the input instead
+         of 100%.
+
+    The result is EXACTLY the plain anti-join (the Bloom filter only
+    prunes, never decides membership) — oracled as such. Size m_bits ≈
+    8–16 bits per committed key and keep it a multiple of 64; the
+    bitmap broadcast is m_bits/8 bytes. The input branches twice
+    (definite/maybe), so under a non-reusable scan persist `inputs` or
+    rely on parquet re-scan being cheap relative to the avoided
+    shuffle. The reference's resume globs paths against a checkpoint
+    set in driver memory (convert.py:144-182) — the equivalent
+    single-node Python set would need ~100 GiB at 10^9 keys.
+    """
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    keys = committed.select(F.col(key_col).alias("_k")).where(F.col("_k").isNotNull())
+    probe_parts = []
+    for w, m in _bloom_probe_cols(F.col("_k"), m_bits, k):
+        probe_parts.append(keys.select(w.alias("_w"), m.alias("_m")))
+    all_bits = probe_parts[0]
+    for p in probe_parts[1:]:
+        all_bits = all_bits.unionAll(p)
+    bloom = all_bits.groupBy("_w").agg(F.bit_or("_m").alias("_word"))
+
+    probed = inputs
+    hit = None
+    for i, (w, m) in enumerate(_bloom_probe_cols(F.col(key_col), m_bits, k)):
+        probed = probed.withColumn(f"_w{i}", w).withColumn(f"_m{i}", m)
+        side = bloom.select(
+            F.col("_w").alias(f"_w{i}"), F.col("_word").alias(f"_word{i}")
+        )
+        probed = probed.join(F.broadcast(side), f"_w{i}", "left")
+        probe_hit = F.col(f"_word{i}").isNotNull() & (
+            F.col(f"_word{i}").bitwiseAND(F.col(f"_m{i}")) != 0
+        )
+        hit = probe_hit if hit is None else (hit & probe_hit)
+
+    cols = list(inputs.columns)
+    probed = probed.withColumn("_maybe", hit)
+    definite_new = probed.where(~F.col("_maybe")).select(*cols)
+    maybes = probed.where(F.col("_maybe")).select(*cols)
+    checked = maybes.join(
+        committed.select(key_col).distinct(), key_col, "left_anti"
+    )
+    return definite_new.unionAll(checked)

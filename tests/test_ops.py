@@ -1175,3 +1175,43 @@ def test_ivf_kmeans_full_probe_equals_brute_force(spark):
     want = {(r["q_id"], r["n_id"]) for r in brute.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.6, recall
+
+
+# ---------------------------------------------------------------- bloom resume
+
+
+def test_bloom_resume_equals_plain_anti_join(spark):
+    from pdfwf_spark.operators.lineage import bloom_filter_uncommitted
+
+    inp = spark.range(2000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.col("id") * 13 % 97).alias("payload"),
+    )
+    com = spark.range(900).select(
+        F.concat(F.lit("d"), (F.col("id") * 2)).alias("doc_id")
+    )
+    want = inp.join(com, "doc_id", "left_anti")
+    for m_bits, k in [(64 * 512, 2), (64, 1), (64 * 4096, 3)]:
+        got = bloom_filter_uncommitted(inp, com, "doc_id", m_bits=m_bits, k=k)
+        assert got.exceptAll(want).count() == 0, (m_bits, k)
+        assert want.exceptAll(got).count() == 0, (m_bits, k)
+        assert got.columns == inp.columns
+
+
+def test_bloom_resume_edge_cases(spark):
+    from pdfwf_spark.operators.lineage import bloom_filter_uncommitted
+
+    inp = spark.range(50).select(F.concat(F.lit("d"), F.col("id")).alias("doc_id"))
+    # empty committed side: everything passes
+    assert bloom_filter_uncommitted(
+        inp, inp.limit(0), "doc_id", m_bits=64 * 8
+    ).count() == 50
+    # fully committed: nothing passes
+    assert bloom_filter_uncommitted(inp, inp, "doc_id", m_bits=64 * 8).count() == 0
+    # null committed keys are ignored, not matched
+    com = spark.createDataFrame([(None,), ("d3",)], "doc_id string")
+    assert bloom_filter_uncommitted(inp, com, "doc_id", m_bits=64 * 64).count() == 49
+    with pytest.raises(ValueError):
+        bloom_filter_uncommitted(inp, inp, "doc_id", m_bits=100)  # not mult of 64
+    with pytest.raises(ValueError):
+        bloom_filter_uncommitted(inp, inp, "doc_id", k=0)

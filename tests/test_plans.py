@@ -277,3 +277,24 @@ def test_histogram_quantiles_aggregates_distinct_values_only(spark):
     # hash aggregate (the histogram) below the window sort
     assert "HashAggregate" in plan, plan
     assert "Window" in plan, plan
+
+
+def test_bloom_resume_probes_broadcast_big_side_never_shuffles(spark):
+    """The 10^12-scale contract of bloom_filter_uncommitted: every
+    probe join against the folded bitmap is a BroadcastHashJoin (the
+    input side carries only two extra long columns), and the only
+    SortMergeJoin/shuffle on input rows is the exact anti-join over
+    the 'maybe' subset."""
+    from pdfwf_spark.operators.lineage import bloom_filter_uncommitted
+
+    inp = spark.range(500).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id")
+    )
+    com = spark.range(200).select(
+        F.concat(F.lit("d"), (F.col("id") * 3)).alias("doc_id")
+    )
+    plan = _plan(bloom_filter_uncommitted(inp, com, "doc_id", m_bits=64 * 128, k=2))
+    # k=2 probe joins, both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # exactly one anti-join (the exact check on the maybe subset)
+    assert plan.count("LeftAnti") == 1, plan
