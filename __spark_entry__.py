@@ -187,6 +187,32 @@ def _q_p1_resume_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (diff.snapshot_diff): what a re-run changed.
+    'new' is a deterministic mutation of documents — md5-bucket 10%
+    deleted, 15% text-suffixed, 5% re-inserted under doc_id+10M — so
+    the operator's added/removed/changed labels have a pure-SQL
+    full-outer IS DISTINCT FROM oracle. One key join; co-located (no
+    exchange) when both snapshot versions are key-bucketed."""
+    from pdfwf_spark.operators.diff import snapshot_diff
+    from pdfwf_spark.operators.sampling import _hash_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept = docs.where(_hash_bucket(F.col("doc_id"), "del") >= int(0.10 * (1 << 32)))
+    mutated = kept.withColumn(
+        "text",
+        F.when(
+            _hash_bucket(F.col("doc_id"), "mod") < int(0.15 * (1 << 32)),
+            F.concat(F.col("text"), F.lit(" [v2]")),
+        ).otherwise(F.col("text")),
+    )
+    added = docs.where(
+        _hash_bucket(F.col("doc_id"), "add") < int(0.05 * (1 << 32))
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    new = mutated.unionAll(added)
+    return snapshot_diff(docs, new, "doc_id", compare_cols=["source", "text"])
+
+
 def _q_p2_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 — deterministic input limit (convert.py:260-265)."""
     events = _t(spark, sf_dir, "events")
@@ -1374,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_turn_ordering": _q_w1_turn_ordering,
         "p1_resume_anti_join": _q_p1_resume_anti_join,
         "p1_resume_bloom": _q_p1_resume_bloom,  # r5: row-level bloom resume
+        "table_diff": _q_table_diff,  # r5: snapshot diff
         "p2_limit": _q_p2_limit,
         "p3_readability_filter": _q_p3_readability_filter,
         "f1_doi_extract": _q_f1_doi_extract,
@@ -1387,7 +1414,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "ev_asof_join": _q_ev_asof_join,  # r5: temporal as-of join
         "ev_range_join": _q_ev_range_join,  # r5: binned interval join
-        "setop_except": _q_setop_except,
         "a_rollup": _q_a_rollup,
         "j3_stem_pair_join": _q_j3_stem_pair_join,
         "j_multiway_topk": _q_j_multiway_topk,
@@ -1431,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scalar-function variants of in-window f1/f7 siblings.)
         "f2_blank_collapse": _q_f2_blank_collapse,
         "f4_abstract_threshold": _q_f4_abstract_threshold,
+        "setop_except": _q_setop_except,
         "f3_ws_collapse": _q_f3_ws_collapse,
         "f10_json_meta": _q_f10_json_meta,
         "text_fingerprint": _q_text_fingerprint,
@@ -1782,6 +1809,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE ('0x' || substr(md5('ckpt#' || doc_id::VARCHAR), 1, 8))::BIGINT
                   >= {int(0.45 * (1 << 32))}
+        """,
+        # same deterministic mutation, diffed with a full-outer
+        # IS DISTINCT FROM join
+        "table_diff": f"""
+            WITH newv AS (
+              SELECT doc_id, source,
+                     CASE WHEN ('0x' || substr(md5('mod#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                               < {int(0.15 * (1 << 32))}
+                          THEN text || ' [v2]' ELSE text END AS text
+              FROM documents
+              WHERE ('0x' || substr(md5('del#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    >= {int(0.10 * (1 << 32))}
+              UNION ALL
+              SELECT doc_id + 10000000, source, text FROM documents
+              WHERE ('0x' || substr(md5('add#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    < {int(0.05 * (1 << 32))}
+            )
+            SELECT doc_id, change FROM (
+              SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN (o.source IS DISTINCT FROM n.source)
+                            OR (o.text IS DISTINCT FROM n.text) THEN 'changed'
+                          ELSE 'unchanged' END AS change
+              FROM documents o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+            WHERE change <> 'unchanged'
         """,
         "p2_limit": """
             SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 100

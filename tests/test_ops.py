@@ -1215,3 +1215,43 @@ def test_bloom_resume_edge_cases(spark):
         bloom_filter_uncommitted(inp, inp, "doc_id", m_bits=100)  # not mult of 64
     with pytest.raises(ValueError):
         bloom_filter_uncommitted(inp, inp, "doc_id", k=0)
+
+
+# ---------------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_kinds(spark):
+    from pdfwf_spark.operators.diff import diff_summary, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "id long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c2", None), (4, "d", None), (5, "e", 50)],
+        "id long, s string, v long",
+    )
+    got = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id").collect()}
+    # 1 removed; 2 unchanged (dropped); 3 changed (s); 4 changed
+    # (40 -> NULL, null-safely); 5 added
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+    withu = snapshot_diff(old, new, "id", include_unchanged=True)
+    assert {r["id"]: r["change"] for r in withu.collect()}[2] == "unchanged"
+
+    summ = {r["change"]: r["n_rows"] for r in diff_summary(old, new, "id").collect()}
+    assert summ == {"removed": 1, "changed": 2, "added": 1}
+
+
+def test_snapshot_diff_subset_columns_and_guards(spark):
+    from pdfwf_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 10)], "id long, s string, v long")
+    new = spark.createDataFrame([(1, "a", 99)], "id long, s string, v long")
+    # comparing only s: the v change is invisible
+    assert snapshot_diff(old, new, "id", compare_cols=["s"]).count() == 0
+    assert snapshot_diff(old, new, "id").count() == 1
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new.drop("v"), "id")
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, "nope")
