@@ -1053,6 +1053,39 @@ def _q_web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_blocked_domains(docs, blocklist).select("doc_id")
 
 
+def _q_web_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL histogram (textstats.canonical_url_counts): six
+    deterministic messy variants of the same logical page — case/www/
+    default-port noise, tracking params, unordered query params,
+    fragments — are appended per doc and must collapse onto their
+    canonical keys. Pure codegen expressions; the oracle replays the
+    identical canonicalization with DuckDB string/list functions."""
+    from pdfwf_spark.operators.textstats import canonical_url_counts
+
+    d = F.col("doc_id")
+    h = (d % 7).cast("string")
+    p = (d % 11).cast("string")
+    site = F.concat(F.lit("site"), h, F.lit(".example.com/page/"), p)
+    url = (
+        F.when(d % 6 == 0,
+               F.concat(F.lit("https://WWW.Site"), h,
+                        F.lit(".Example.COM:443/page/"), p, F.lit("/")))
+        .when(d % 6 == 1, F.concat(F.lit("https://"), site))
+        .when(d % 6 == 2,
+              F.concat(F.lit("http://site"), h, F.lit(".example.com:80/page/"),
+                       p, F.lit("?utm_source=x&b=2&a=1")))
+        .when(d % 6 == 3, F.concat(F.lit("https://"), site, F.lit("?a=1&b=2#frag")))
+        .when(d % 6 == 4,
+              F.concat(F.lit("https://"), site, F.lit("?b=2&a=1&fbclid=z"),
+                       d.cast("string")))
+        .otherwise(F.concat(F.lit("http://"), site, F.lit("#sec")))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), url).alias("text")
+    )
+    return canonical_url_counts(docs)
+
+
 def _q_web_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level URL histogram (the C4/RefinedWeb blocklist /
     per-domain-cap building block). The corpus has no URLs, so a
@@ -1416,7 +1449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_range_join": _q_ev_range_join,  # r5: binned interval join
         "a_rollup": _q_a_rollup,
         "j3_stem_pair_join": _q_j3_stem_pair_join,
-        "j_multiway_topk": _q_j_multiway_topk,
         # -- flagship extraction + multimodal parity
         "extract_pipeline": _q_extract_pipeline,
         "extract_plain_parity": _q_extract_plain_parity,
@@ -1444,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": _q_grouped_quantiles,  # r5: per-group quantiles
         "text_clf_score": _q_text_clf_score,
         "web_domain_counts": _q_web_domain_counts,
+        "web_url_canon": _q_web_url_canon,  # r5: canonical-URL dedup key
         # -- embedding similarity
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ivf_topk": _q_emb_ivf_topk,
@@ -1458,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_blank_collapse": _q_f2_blank_collapse,
         "f4_abstract_threshold": _q_f4_abstract_threshold,
         "setop_except": _q_setop_except,
+        "j_multiway_topk": _q_j_multiway_topk,
         "f3_ws_collapse": _q_f3_ws_collapse,
         "f10_json_meta": _q_f10_json_meta,
         "text_fingerprint": _q_text_fingerprint,
@@ -2461,6 +2495,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, p.n_lines, p.dup_line_milli, p.dup_char_milli,
                    COALESCE(t.top2gram_milli, 0) AS top2gram_milli
             FROM per_row p LEFT JOIN top t USING (doc_id)
+        """,
+        # the oracle replays canonicalize_url step-for-step with
+        # DuckDB string/list functions (regexp_replace single-match
+        # suffices: every pattern can occur at most once per URL)
+        "web_url_canon": r"""
+            WITH u AS (
+              SELECT doc_id,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'https://WWW.Site' || (doc_id % 7) ||
+                              '.Example.COM:443/page/' || (doc_id % 11) || '/'
+                  WHEN 1 THEN 'https://site' || (doc_id % 7) ||
+                              '.example.com/page/' || (doc_id % 11)
+                  WHEN 2 THEN 'http://site' || (doc_id % 7) ||
+                              '.example.com:80/page/' || (doc_id % 11) ||
+                              '?utm_source=x&b=2&a=1'
+                  WHEN 3 THEN 'https://site' || (doc_id % 7) ||
+                              '.example.com/page/' || (doc_id % 11) || '?a=1&b=2#frag'
+                  WHEN 4 THEN 'https://site' || (doc_id % 7) ||
+                              '.example.com/page/' || (doc_id % 11) ||
+                              '?b=2&a=1&fbclid=z' || doc_id
+                  ELSE 'http://site' || (doc_id % 7) ||
+                       '.example.com/page/' || (doc_id % 11) || '#sec'
+                END AS url
+              FROM documents),
+            s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u0 FROM u),
+            s2 AS (
+              SELECT doc_id,
+                lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                lower(regexp_extract(u0, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+                regexp_replace(u0, '^[^:/?#]+://[^/?#]*', '') AS rest
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, scheme,
+                regexp_replace(
+                  CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                       ELSE hostport END, '^www\.', '') AS host,
+                regexp_replace(regexp_replace(rest, '\?.*', ''), '/+$', '') AS path,
+                -- COALESCE: duckdb array_to_string([]) is NULL where
+                -- spark array_join([]) is ''
+                COALESCE(array_to_string(list_sort(list_filter(
+                  string_split(regexp_extract(rest, '\?(.*)', 1), '&'),
+                  x -> x <> '' AND NOT regexp_matches(x,
+                    '^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)(=|$)'))), '&'),
+                  '') AS q2
+              FROM s2)
+            SELECT scheme || '://' || host || path ||
+                   CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canonical_url,
+                   COUNT(*) AS n_urls,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM s3 GROUP BY 1
         """,
         "web_domain_counts": f"""
             WITH docs2 AS (

@@ -471,6 +471,81 @@ def length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Tracking query parameters stripped by canonicalize_url. Name-anchored
+#: (the (=|$) tail keeps 'utm_sourcey='-style prefixes from matching
+#: only when they genuinely start with a listed name).
+TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)(=|$)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL — the dedup/join key web curation
+    actually uses (a recrawl sees the same page as `HTTP://WWW.A.COM:80/x/?b=2&a=1&utm_s=z#top`
+    and `http://a.com/x?a=1&b=2`; raw-string keys treat those as two
+    documents). Steps, all JVM-side regexp/array built-ins pinned to
+    the Java/RE2-common subset so a DuckDB twin reproduces them
+    bit-for-bit:
+
+      fragment dropped; scheme + host lowercased; default port for the
+      scheme (:80 http, :443 https) and a leading `www.` stripped;
+      trailing slashes collapsed off the path; tracking parameters
+      (TRACKING_PARAM_PATTERN) removed; surviving query parameters
+      sorted byte-wise so parameter order cannot split a dedup key.
+
+    Scale: pure whole-stage-codegen expression — no UDF, no shuffle;
+    canonicalization cost rides the scan.
+    """
+    u0 = F.regexp_replace(url, "#.*", "")
+    scheme = F.lower(F.regexp_extract(u0, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u0, "^[^:/?#]+://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    rest = F.regexp_replace(u0, "^[^:/?#]+://[^/?#]*", "")
+    path = F.regexp_replace(F.regexp_replace(rest, r"\?.*", ""), "/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    q2 = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )
+
+
+def canonical_url_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical-URL histogram over a corpus: extract-all -> explode ->
+    canonicalize -> count. The canonical key is what collapses recrawl
+    variants, so `n_urls > n_distinct_raw` rows are exactly the
+    dedup wins. One count shuffle keyed on the canonical string.
+
+    Output: (canonical_url, n_urls, n_docs).
+    """
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
+    urls = repartition_for_scan(docs).select(
+        F.col("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    )
+    return (
+        urls.select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
 def filter_blocked_domains(
     docs: DataFrame, blocklist: DataFrame, text_col: str = "text"
 ) -> DataFrame:

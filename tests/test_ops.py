@@ -1255,3 +1255,45 @@ def test_snapshot_diff_subset_columns_and_guards(spark):
         snapshot_diff(old, new.drop("v"), "id")
     with pytest.raises(ValueError):
         snapshot_diff(old, new, "nope")
+
+
+# ---------------------------------------------------------------- url canon
+
+
+def test_canonicalize_url_cases(spark):
+    from pdfwf_spark.operators.textstats import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://ex.com/a/b?a=1&b=2"),
+        ("http://ex.com:80/", "http://ex.com"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),   # non-default port kept
+        ("https://ex.com/x?fbclid=1&gclid=2&utm_medium=m", "https://ex.com/x"),
+        ("https://ex.com", "https://ex.com"),
+        ("https://ex.com/?", "https://ex.com"),
+        ("https://ex.com/CaseSensitive/Path", "https://ex.com/CaseSensitive/Path"),
+        ("https://ex.com/x?z=1&a=2&z=0", "https://ex.com/x?a=2&z=0&z=1"),
+        # utm_ anchored by name: a param merely starting with 'utm' stays
+        ("https://ex.com/x?utmost=1", "https://ex.com/x?utmost=1"),
+        ("http://ex.com:443/x", "http://ex.com:443/x"),     # 443 not http's default
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_canonical_url_counts_collapses_variants(spark):
+    from pdfwf_spark.operators.textstats import canonical_url_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://WWW.ex.com/p/1/ and http://other.com/q"),
+            (2, "dup https://ex.com/p/1?utm_source=tw"),
+            (3, "plain https://ex.com/p/1"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["canonical_url"]: (r["n_urls"], r["n_docs"])
+           for r in canonical_url_counts(docs).collect()}
+    assert got["https://ex.com/p/1"] == (3, 3)
+    assert got["http://other.com/q"] == (1, 1)
