@@ -89,6 +89,11 @@ HEADLINE = [
     "f7_markdown_compat",
     "mm_media_meta",
     "mm_media_png",
+    # round-5 additions
+    "grouped_quantiles",
+    "p1_resume_bloom",
+    "table_diff",
+    "web_url_canon",
 ]
 
 
