@@ -1393,6 +1393,21 @@ def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms_per_doc(_t(spark, sf_dir, "documents"), k=5)
 
 
+def _q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over document word bigrams
+    (sketch.heavy_hitters): per-partition batched Misra-Gries bounds
+    the candidate shuffle at partitions x capacity, then a broadcast
+    semi-join + exact count confirms — deterministic, so the whole
+    two-pass plan oracles as one GROUP BY ... HAVING."""
+    from pdfwf_spark.operators.dedup import tokens, word_ngrams
+    from pdfwf_spark.operators.sketch import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(tokens(F.col("text")), lambda x: x != "")
+    grams = docs.select(F.explode(word_ngrams(toks, 2)).alias("ngram"))
+    return heavy_hitters(grams, "ngram", min_count=40)
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (email / IPv4 / phone -> typed placeholders with
     per-category counts). The corpus has no PII, so a deterministic
@@ -1472,8 +1487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contam_benchmark": _q_contam_benchmark,
         "text_repetition": _q_text_repetition,
         "pii_redact": _q_pii_redact,
-        "corpus_quantiles": _q_corpus_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,  # r5: per-group quantiles
+        "text_heavy_hitters": _q_text_heavy_hitters,  # r5: Misra-Gries 2-pass
         "text_clf_score": _q_text_clf_score,
         "web_domain_counts": _q_web_domain_counts,
         "web_url_canon": _q_web_url_canon,  # r5: canonical-URL dedup key
@@ -1488,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (these were recorded green in the r04 driver window; moved
         # below to make room for the r5 headliners. f2/f3/f4/f10 are
         # scalar-function variants of in-window f1/f7 siblings.)
+        "corpus_quantiles": _q_corpus_quantiles,
         "f2_blank_collapse": _q_f2_blank_collapse,
         "f4_abstract_threshold": _q_f4_abstract_threshold,
         "setop_except": _q_setop_except,
@@ -2841,6 +2857,16 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY ngram
             ORDER BY n DESC, ngram
             LIMIT 20
+        """,
+        "text_heavy_hitters": rf"""
+            WITH toks AS (
+              SELECT list_filter({_TOKS}, x -> x <> '') AS t FROM documents),
+            g AS (
+              SELECT unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i+1])) AS ngram
+              FROM toks WHERE len(t) >= 2)
+            SELECT ngram, COUNT(*) AS n
+            FROM g GROUP BY ngram HAVING COUNT(*) >= 40
         """,
         "stream_windowed_stats": """
             WITH w AS (

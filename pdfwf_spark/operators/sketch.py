@@ -360,3 +360,93 @@ def approx_quantiles_builtin(
         for i, q in enumerate(qs)
     ]
     return df.agg(*sel, F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: two-pass exact Misra-Gries
+# ---------------------------------------------------------------------------
+
+
+def _mg_partials(value_col: str, capacity: int) -> Callable:
+    """Per-partition batched Misra-Gries summary, emitted as candidate
+    values only.
+
+    Classic MG decrements (capacity+1) counters by 1 per step; the
+    batched one-step variant subtracts t = the (len-capacity)-th
+    smallest counter from ALL counters whenever the table exceeds
+    capacity, dropping the <= t ones - equivalent to t classic rounds
+    at once. Each one-step subtract removes >= t*(capacity+1) mass, so
+    the total undercount of any value within a partition is bounded by
+    n_p / (capacity + 1). A value can only be absent from the summary
+    if its full local count was consumed by decrements, so any value
+    with local count > n_p/(capacity+1) is guaranteed to survive.
+    Nulls are ignored (they cannot equi-join downstream anyway).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[value_col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                counts = np.fromiter(
+                    counters.values(), dtype=np.int64, count=len(counters)
+                )
+                m = len(counts) - capacity  # m-th smallest zeroes >= m
+                t = int(np.partition(counts, m - 1)[m - 1])
+                counters = {v: c - t for v, c in counters.items() if c > t}
+        if counters:
+            yield pd.DataFrame({value_col: list(counters.keys())})
+
+    return fn
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_count: int,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters: every value of `value_col` occurring at
+    least `min_count` times, with its exact count - (value_col, n).
+
+    The naive plan (groupBy(value).count() then HAVING) shuffles one
+    row per DISTINCT value; at web scale the distinct-token domain is
+    billions while the answer is tiny. Two passes bound the shuffle:
+
+    1. mapInPandas Misra-Gries per input partition (capacity k) ->
+       candidate values, <= partitions * k rows total. Union of
+       partition summaries is a superset of the merged-MG support, so
+       any value with GLOBAL count > N/(k+1) appears in at least one
+       summary (per-partition undercounts sum to <= N/(k+1)).
+    2. Exact confirm: broadcast the candidate set, left-semi join the
+       input (only candidate rows survive the scan), one map-side-
+       combined count, filter >= min_count. Deterministic and exact,
+       so the whole operator oracles as GROUP BY ... HAVING.
+
+    capacity=None auto-sizes k = ceil(N/min_count) from one count()
+    (metadata-cheap on parquet), which makes pass 1 provably lossless
+    for the requested threshold. An explicit smaller capacity is an
+    approximate mode - caller owns the recall guarantee (documented,
+    not oracled).
+
+    Reference analog: the timer notebooks' pandas value_counts over
+    collected CSVs (examples/strong_scaling.ipynb cell 0) - a driver-
+    side plan that cannot exist at 10^12 rows.
+    """
+    if min_count <= 0:
+        raise ValueError(f"min_count must be positive, got {min_count}")
+    if capacity is None:
+        n_rows = df.count()
+        capacity = max(1, -(-n_rows // min_count))
+    vals = df.select(value_col)
+    schema = T.StructType([vals.schema[value_col]])
+    candidates = vals.mapInPandas(
+        _mg_partials(value_col, capacity), schema=schema
+    ).distinct()
+    return (
+        vals.join(F.broadcast(candidates), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )

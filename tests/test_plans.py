@@ -298,3 +298,18 @@ def test_bloom_resume_probes_broadcast_big_side_never_shuffles(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     # exactly one anti-join (the exact check on the maybe subset)
     assert plan.count("LeftAnti") == 1, plan
+
+
+def test_heavy_hitters_confirm_pass_broadcasts_candidates(spark):
+    """heavy_hitters' exact-confirm pass must broadcast the (bounded,
+    partitions x capacity) candidate set into a left-semi join — the
+    corpus is never shuffled on the value key before the final count's
+    map-side combine."""
+    from pdfwf_spark.operators.sketch import heavy_hitters
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("t"), (F.col("id") % 37)).alias("v")
+    )
+    plan = _plan(heavy_hitters(df, "v", min_count=10, capacity=64))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

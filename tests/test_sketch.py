@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pdfwf_spark.operators.sketch import (
+    heavy_hitters,
     approx_quantiles_builtin,
     grouped_histogram_quantiles,
     hash_sample_quantiles,
@@ -136,3 +137,70 @@ def test_approx_builtin_close(spark, values_df):
     exact = _exact_milli(values_df, QS)
     for k, e in zip(["p50_milli", "p90_milli", "p99_milli"], exact):
         assert abs(got[k] - e) / max(e, 1) < 0.05
+
+
+# ---------------------------------------------------------------- heavy hitters
+
+
+@pytest.fixture(scope="module")
+def zipf_tokens_df(spark):
+    # token i appears floor(3000/i) times -> a long heavy-hitter tail
+    rows = []
+    for i in range(1, 400):
+        rows += [(f"tok{i:03d}",)] * (3000 // i)
+    return spark.createDataFrame(rows, "v string").repartition(16)
+
+
+def _hh_truth(df, min_count):
+    return {
+        r["v"]: r["n"]
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("min_count", [50, 200, 1000])
+def test_heavy_hitters_exact(spark, zipf_tokens_df, min_count):
+    """Auto-sized capacity makes the two-pass MG plan exactly equal the
+    naive groupBy/HAVING result, at any threshold."""
+    got = {
+        r["v"]: r["n"]
+        for r in heavy_hitters(zipf_tokens_df, "v", min_count).collect()
+    }
+    assert got == _hh_truth(zipf_tokens_df, min_count)
+
+
+def test_heavy_hitters_partitioning_invariant(spark, zipf_tokens_df):
+    """Result must not depend on how rows are split across partitions."""
+    expect = _hh_truth(zipf_tokens_df, 200)
+    for parts in (1, 3, 32):
+        got = {
+            r["v"]: r["n"]
+            for r in heavy_hitters(
+                zipf_tokens_df.repartition(parts), "v", 200
+            ).collect()
+        }
+        assert got == expect, parts
+
+
+def test_heavy_hitters_explicit_capacity_is_exact_subset(spark, zipf_tokens_df):
+    """Caller-supplied (too small) capacity is an approximate mode: a
+    subset of the true hitters, but every reported count stays exact,
+    and the heaviest item always survives (MG guarantee)."""
+    truth = _hh_truth(zipf_tokens_df, 50)
+    got = {
+        r["v"]: r["n"]
+        for r in heavy_hitters(zipf_tokens_df, "v", 50, capacity=4).collect()
+    }
+    assert set(got) <= set(truth)
+    assert all(truth[k] == v for k, v in got.items())
+    assert "tok001" in got  # global max frequency can never be decremented away
+
+
+def test_heavy_hitters_empty_and_guard(spark):
+    empty = spark.createDataFrame([], "v string")
+    assert heavy_hitters(empty, "v", 5).count() == 0
+    with pytest.raises(ValueError, match="min_count"):
+        heavy_hitters(empty, "v", 0)
