@@ -1408,6 +1408,31 @@ def _q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(grams, "ngram", min_count=40)
 
 
+def _q_web_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal scoped per source domain
+    (textstats.strip_boilerplate_lines): lines repeating across >= 2
+    docs of a source are dropped, survivors reassembled in order. The
+    corpus is single-line, so a deterministic 3-line wrapper (global
+    banner / per-source banner / doc_id%480 tag — the tag lands on the
+    df threshold boundary within each source) is prepended with the
+    identical expression in the oracle."""
+    from pdfwf_spark.operators.textstats import strip_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("home | products | about\ncopyright "),
+            F.col("source"),
+            F.lit("\ntag "),
+            (F.col("doc_id") % 480).cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(docs, min_df=2)
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (email / IPv4 / phone -> typed placeholders with
     per-category counts). The corpus has no PII, so a deterministic
@@ -1492,11 +1517,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clf_score": _q_text_clf_score,
         "web_domain_counts": _q_web_domain_counts,
         "web_url_canon": _q_web_url_canon,  # r5: canonical-URL dedup key
+        "web_boilerplate_strip": _q_web_boilerplate_strip,  # r5: CCNet-style lines
         # -- embedding similarity
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "text_quality": _q_text_quality,
-        "text_langid": _q_text_langid,
         "pack_concat": _q_pack_concat,
         "sample_split": _q_sample_split,
         # ---------------- below the driver's 50-row fold ----------------
@@ -1511,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_ws_collapse": _q_f3_ws_collapse,
         "f10_json_meta": _q_f10_json_meta,
         "text_fingerprint": _q_text_fingerprint,
+        "text_langid": _q_text_langid,
         "text_term_df": _q_text_term_df,
         "dedup_passages": _q_dedup_passages,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
@@ -2857,6 +2883,32 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY ngram
             ORDER BY n DESC, ngram
             LIMIT 20
+        """,
+        "web_boilerplate_strip": """
+            WITH d2 AS (
+              SELECT doc_id, source,
+                     'home | products | about' || chr(10) ||
+                     'copyright ' || source || chr(10) ||
+                     'tag ' || (doc_id % 480) || chr(10) || text AS t2
+              FROM documents),
+            l AS (SELECT doc_id, source, str_split(t2, chr(10)) AS ls FROM d2),
+            dl AS (SELECT DISTINCT doc_id, source, unnest(ls) AS line FROM l),
+            freq AS (
+              SELECT source, line FROM dl
+              GROUP BY source, line HAVING COUNT(*) >= 2),
+            fa AS (
+              SELECT source, list_sort(list(line)) AS boiler
+              FROM freq GROUP BY source),
+            k AS (
+              SELECT l.doc_id, l.source, l.ls,
+                     list_filter(l.ls, x -> NOT list_contains(
+                       coalesce(fa.boiler, []::VARCHAR[]), x)) AS kept
+              FROM l LEFT JOIN fa USING (source))
+            SELECT doc_id, source,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                   len(ls)::INT AS n_lines,
+                   (len(ls) - len(kept))::INT AS n_removed
+            FROM k
         """,
         "text_heavy_hitters": rf"""
             WITH toks AS (

@@ -607,3 +607,73 @@ def bpe_token_count(text_col: Column) -> Column:
     return F.size(
         F.filter(pieces, lambda x: ~x.rlike(ws_only))
     ).alias("n_bpe_tokens")
+
+
+#: strip_boilerplate_lines: per-group frequent-line table cap. A web
+#: domain's true boilerplate set (nav, footer, cookie banner) is tiny;
+#: the cap bounds the broadcast per group no matter how pathological
+#: the input (df DESC order keeps the most-shared lines).
+DEFAULT_MAX_BOILER_LINES = 10_000
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    min_df: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_lines_per_group: int = DEFAULT_MAX_BOILER_LINES,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: drop every line that
+    appears (identically) in >= min_df documents OF THE SAME group
+    (domain/source), reassembling the survivors in original order.
+    Output: (id_col, group_col, clean_text, n_lines, n_removed).
+
+    The web-extraction gap the per-document heuristics can't close:
+    nav bars, cookie banners and footers are fluent text that only
+    reveals itself by repeating ACROSS a domain's pages (reference's
+    per-doc scope: parsers see one document at a time,
+    pdfwf/convert.py:249-257 — a cross-corpus pass has no analog
+    there and needs an engine like this).
+
+    Plan shape: per-doc DISTINCT lines explode -> one map-side-combined
+    (group, line) count -> HAVING >= min_df -> per-group top-cap window
+    (df DESC, line ASC: deterministic under the cap) -> collect to ONE
+    sorted array row per group -> broadcast-join back on group_col ->
+    per-row array_filter + concat_ws. The corpus text is NEVER
+    shuffled: only distinct (group, line) partials move, and the
+    rebuild is scan-side codegen against the broadcast boiler array.
+    Within-doc duplicate lines count once toward df; removal drops all
+    their occurrences.
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    from pyspark.sql import Window
+
+    lines = F.split(F.col(text_col), "\n")
+    exploded = docs.select(
+        F.col(group_col), F.explode(F.array_distinct(lines)).alias("line")
+    )
+    freq = (
+        exploded.groupBy(group_col, "line")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("df").desc(), F.col("line"))
+    capped = freq.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= max_lines_per_group
+    )
+    boiler = capped.groupBy(group_col).agg(
+        F.sort_array(F.collect_list("line")).alias("boiler")
+    )
+    joined = docs.join(F.broadcast(boiler), group_col, "left").withColumn(
+        "boiler", F.coalesce(F.col("boiler"), F.array().cast("array<string>"))
+    )
+    kept = F.filter(lines, lambda x: ~F.array_contains(F.col("boiler"), x))
+    return joined.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(kept)).alias("n_removed"),
+    )

@@ -1297,3 +1297,74 @@ def test_canonical_url_counts_collapses_variants(spark):
            for r in canonical_url_counts(docs).collect()}
     assert got["https://ex.com/p/1"] == (3, 3)
     assert got["http://other.com/q"] == (1, 1)
+
+
+def test_strip_boilerplate_lines(spark):
+    """Per-group frequent lines drop; unique lines survive in order;
+    in-doc duplicates count once toward df but all occurrences drop or
+    stay together; groups never cross-contaminate."""
+    from pdfwf_spark.operators.textstats import strip_boilerplate_lines
+
+    rows = []
+    for d in ("a.com", "b.com"):
+        for i in range(4):
+            parts = [f"nav {d}", f"body {d} {i}"]
+            if d == "a.com" and i < 2:
+                parts.append("promo")          # df=2 in a.com only
+            if i == 0:
+                parts.append(f"body {d} {i}")  # in-doc duplicate
+            parts.append(f"footer {d}")
+            rows.append((f"{d}/{i}", d, "\n".join(parts)))
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_lines(df, min_df=2).collect()
+    }
+    # banners + promo gone, bodies kept (the duplicate twice, in order)
+    assert out["a.com/0"]["clean_text"] == "body a.com 0\nbody a.com 0"
+    assert out["a.com/1"]["clean_text"] == "body a.com 1"
+    assert out["a.com/3"]["clean_text"] == "body a.com 3"
+    assert out["b.com/0"]["clean_text"] == "body b.com 0\nbody b.com 0"
+    assert out["a.com/0"]["n_lines"] == 5 and out["a.com/0"]["n_removed"] == 3
+    # 'promo' would survive in b.com (df=0 there) — no cross-group leak
+    df2 = df.union(
+        spark.createDataFrame(
+            [("b.com/x", "b.com", "promo\nbody b.com x")],
+            "doc_id string, source string, text string",
+        )
+    )
+    out2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate_lines(df2, min_df=2).collect()
+    }
+    assert out2["b.com/x"] == "promo\nbody b.com x"
+
+
+def test_strip_boilerplate_cap_keeps_most_shared(spark):
+    """Under a binding cap the df-DESC order retains the MOST shared
+    lines; guard rejects min_df < 2."""
+    from pdfwf_spark.operators.textstats import strip_boilerplate_lines
+
+    rows = [
+        (str(i), "s", "\n".join(
+            ["every doc"]                       # df=6
+            + (["most docs"] if i < 4 else [])  # df=4
+            + (["two docs"] if i < 2 else [])   # df=2
+            + [f"body {i}"]
+        ))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate_lines(
+            df, min_df=2, max_lines_per_group=2
+        ).collect()
+    }
+    # cap=2 keeps {every doc, most docs} in the blocklist; 'two docs' survives
+    assert out["0"] == "two docs\nbody 0"
+    assert out["5"] == "body 5"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_df"):
+        strip_boilerplate_lines(df, min_df=1)

@@ -313,3 +313,20 @@ def test_heavy_hitters_confirm_pass_broadcasts_candidates(spark):
     plan = _plan(heavy_hitters(df, "v", min_count=10, capacity=64))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_boilerplate_strip_broadcasts_blocklist_never_shuffles_text(spark):
+    """strip_boilerplate_lines' 100 TB contract: only distinct
+    (group, line) partials shuffle for the df count; the corpus joins
+    the one-row-per-group boiler arrays via broadcast and the rebuild
+    is scan-side — no SortMergeJoin anywhere."""
+    from pdfwf_spark.operators.textstats import strip_boilerplate_lines
+
+    df = spark.range(200).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4)).alias("source"),
+        F.concat(F.lit("nav\nbody "), F.col("id")).alias("text"),
+    )
+    plan = _plan(strip_boilerplate_lines(df, min_df=2))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
