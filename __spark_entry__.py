@@ -1459,6 +1459,106 @@ def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ctx_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling k-turn context windows over the transcript table
+    (context.assemble_context), run through the CHUNKED skew-safe
+    path — the oracle is the plain global window, so a green row
+    proves the chunk-overlap rewrite is row-identical. chunk_size=4
+    on purpose: synth convs run ~10 turns at sf0.01, so every
+    conversation actually crosses chunk boundaries here (production
+    would size chunks in the thousands)."""
+    from pdfwf_spark.operators.context import assemble_context
+
+    t = _synth_transcripts(spark, sf_dir)
+    return assemble_context(
+        t, k=3, chunk_size=4, max_chars_per_turn=64
+    ).select("conv_id", "turn_idx", "context")
+
+
+def _q_ctx_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prompt, response) pair extraction
+    (context.prompt_response_pairs): each assistant turn pairs with
+    the ordered render of every turn since the previous assistant
+    turn; trailing unanswered turns drop."""
+    from pdfwf_spark.operators.context import prompt_response_pairs
+
+    t = _synth_transcripts(spark, sf_dir)
+    return prompt_response_pairs(
+        t, response_role="assistant", max_chars_per_turn=64
+    )
+
+
+def _q_conv_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation chat render (context.render_conversations):
+    one training document per conversation, per-turn truncation
+    applied scan-side."""
+    from pdfwf_spark.operators.context import render_conversations
+
+    t = _synth_transcripts(spark, sf_dir)
+    return render_conversations(t, max_chars_per_turn=48).select(
+        "conv_id", "n_turns", "n_chars", "rendered"
+    )
+
+
+def _q_conv_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation QA: role-alternation violations
+    (context.alternation_violations). The standard synth roles never
+    repeat consecutively, so the query assigns roles from a doc_id%7
+    ramp (step 50 % 7 = 1 per turn -> runs of 2-3 equal roles) built
+    with the identical expression in the oracle."""
+    from pdfwf_spark.operators.context import alternation_violations
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(7))
+    t = docs.select(
+        F.concat(F.lit("conv-"), F.lpad((F.col("doc_id") % 50).cast("string"), 6, "0")).alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.when(m < 2, F.lit("user"))
+        .when(m < 5, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+        .alias("role"),
+    )
+    return alternation_violations(t)
+
+
+def _role_ramp_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slim transcript whose (role, text) repeat in runs of 2-3
+    consecutive turns (doc_id%7 ramp, step 50 % 7 = 1 per turn) —
+    the fixture for the run-shaped QA operators, mirrored verbatim
+    in _ROLE_RAMP_CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(7))
+    role = (
+        F.when(m < 2, F.lit("user"))
+        .when(m < 5, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+    )
+    return docs.select(
+        F.concat(F.lit("conv-"), F.lpad((F.col("doc_id") % 50).cast("string"), 6, "0")).alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.concat(role, F.lit(" message")).alias("text"),
+    )
+
+
+def _q_conv_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate turn collapse
+    (context.collapse_repeated_turns): retry storms keep only their
+    first turn."""
+    from pdfwf_spark.operators.context import collapse_repeated_turns
+
+    return collapse_repeated_turns(_role_ramp_transcript(spark, sf_dir))
+
+
+def _q_conv_tool_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-loop detection (context.detect_tool_loops): runs of >= 3
+    consecutive identical (role, text) turns via the gaps-and-islands
+    running-sum-of-changes window."""
+    from pdfwf_spark.operators.context import detect_tool_loops
+
+    return detect_tool_loops(_role_ramp_transcript(spark, sf_dir), min_run=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records at most the first 50 entries in
     # CORRECTNESS_r{N}.json (r3 file held exactly the first 50 of 56).
@@ -1489,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_range_join": _q_ev_range_join,  # r5: binned interval join
         "a_rollup": _q_a_rollup,
         "j3_stem_pair_join": _q_j3_stem_pair_join,
+        "ctx_assemble": _q_ctx_assemble,  # r5: chunked rolling context windows
+        "ctx_pairs": _q_ctx_pairs,  # r5: (prompt, response) pair extraction
         # -- flagship extraction + multimodal parity
         "extract_pipeline": _q_extract_pipeline,
         "extract_plain_parity": _q_extract_plain_parity,
@@ -1499,8 +1601,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_png": _q_mm_media_png,  # r5: PNG IHDR codec
         # -- dedup family (one representative per algorithm)
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_sig": _q_dedup_minhash_sig,
-        "dedup_simhash": _q_dedup_simhash,
         "simhash_band_pairs": _q_simhash_band_pairs,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_lsh_verified": _q_dedup_lsh_verified,
@@ -1527,7 +1627,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- below the driver's 50-row fold ----------------
         # (these were recorded green in the r04 driver window; moved
         # below to make room for the r5 headliners. f2/f3/f4/f10 are
-        # scalar-function variants of in-window f1/f7 siblings.)
+        # scalar-function variants of in-window f1/f7 siblings;
+        # minhash_sig/simhash are signature intermediates of the
+        # in-window lsh_verified/band_pairs queries.)
+        "dedup_minhash_sig": _q_dedup_minhash_sig,
+        "dedup_simhash": _q_dedup_simhash,
+        "conv_render": _q_conv_render,  # r5: whole-conversation render
+        "conv_alternation": _q_conv_alternation,  # r5: role-alternation QA
+        "conv_collapse_repeats": _q_conv_collapse_repeats,  # r5: retry-storm collapse
+        "conv_tool_loops": _q_conv_tool_loops,  # r5: islands loop detection
         "corpus_quantiles": _q_corpus_quantiles,
         "f2_blank_collapse": _q_f2_blank_collapse,
         "f4_abstract_threshold": _q_f4_abstract_threshold,
@@ -1575,6 +1683,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------- oracles
 
 _TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+# DuckDB twin of _synth_transcripts (conv_id / turn_idx / role / raw
+# payload) — the same doc_id arithmetic and family wrappers, so the
+# transcript-shaped oracles reconstruct byte-identical turn text.
+_TRANSCRIPT_CTE = """
+              SELECT 'conv-' || lpad((doc_id % 50)::VARCHAR, 6, '0') AS conv_id,
+                     (doc_id // 50)::INT AS turn_idx,
+                     (['user','assistant','tool'])[(doc_id % 3)::INT + 1] AS role,
+                     CASE (doc_id % 3)
+                       WHEN 0 THEN '<html><head><title>doc</title></head><body>'
+                         || '<div class="nav"><a href="/">home</a></div><article><p>'
+                         || text
+                         || '</p></article><footer>footer text</footer></body></html>'
+                       WHEN 1 THEN '%PDFISH1' || chr(10) || 'PAGE 1 612 792' || chr(10)
+                         || 'BLOCK 72 72 540 100 title|synthetic doc' || chr(10)
+                         || 'BLOCK 72 120 540 700 text|' || text || chr(10)
+                         || 'BLOCK 72 720 540 740 footer|page 1'
+                       ELSE text || repeat(chr(10), 4) || 'tail paragraph here.'
+                     END AS payload
+              FROM documents
+"""
+
+# DuckDB twin of _role_ramp_transcript (run-shaped roles/text for the
+# collapse/loop QA oracles)
+_ROLE_RAMP_CTE = """
+              SELECT 'conv-' || lpad((doc_id % 50)::VARCHAR, 6, '0') AS conv_id,
+                     (doc_id // 50)::INT AS turn_idx,
+                     CASE WHEN doc_id % 7 < 2 THEN 'user'
+                          WHEN doc_id % 7 < 5 THEN 'assistant'
+                          ELSE 'tool' END AS role,
+                     (CASE WHEN doc_id % 7 < 2 THEN 'user'
+                           WHEN doc_id % 7 < 5 THEN 'assistant'
+                           ELSE 'tool' END) || ' message' AS text
+              FROM documents
+"""
 
 # hot-group caps mirrored into every banded-candidate oracle (the SQL
 # twin of dedup.cap_hot_groups — QUALIFY COUNT(*) OVER the bucket key)
@@ -2909,6 +3052,88 @@ def oracle_sql() -> dict[str, str]:
                    len(ls)::INT AS n_lines,
                    (len(ls) - len(kept))::INT AS n_removed
             FROM k
+        """,
+        "ctx_assemble": f"""
+            WITH t AS ({_TRANSCRIPT_CTE})
+            SELECT conv_id, turn_idx,
+                   COALESCE(string_agg(role || ': ' || substr(payload, 1, 64), chr(10))
+                     OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context
+            FROM t
+        """,
+        "ctx_pairs": f"""
+            WITH t AS ({_TRANSCRIPT_CTE}),
+            s AS (
+              SELECT conv_id, turn_idx, role, payload,
+                     COALESCE(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS pair_idx
+              FROM t)
+            SELECT conv_id, pair_idx,
+                   MAX(CASE WHEN role = 'assistant' THEN turn_idx END)::INT
+                     AS response_turn_idx,
+                   COALESCE(string_agg(
+                     CASE WHEN role <> 'assistant'
+                          THEN role || ': ' || substr(payload, 1, 64) END,
+                     chr(10) ORDER BY turn_idx), '') AS prompt,
+                   MAX(CASE WHEN role = 'assistant' THEN payload END) AS response
+            FROM s GROUP BY conv_id, pair_idx
+            HAVING MAX(CASE WHEN role = 'assistant' THEN payload END) IS NOT NULL
+        """,
+        "conv_render": f"""
+            WITH t AS ({_TRANSCRIPT_CTE})
+            SELECT conv_id,
+                   COUNT(*)::INT AS n_turns,
+                   length(string_agg(role || ': ' || substr(payload, 1, 48),
+                                     chr(10) ORDER BY turn_idx))::BIGINT AS n_chars,
+                   string_agg(role || ': ' || substr(payload, 1, 48),
+                              chr(10) ORDER BY turn_idx) AS rendered
+            FROM t GROUP BY conv_id
+        """,
+        "conv_alternation": """
+            WITH t AS (
+              SELECT 'conv-' || lpad((doc_id % 50)::VARCHAR, 6, '0') AS conv_id,
+                     (doc_id // 50)::INT AS turn_idx,
+                     CASE WHEN doc_id % 7 < 2 THEN 'user'
+                          WHEN doc_id % 7 < 5 THEN 'assistant'
+                          ELSE 'tool' END AS role
+              FROM documents),
+            l AS (
+              SELECT conv_id, turn_idx, role,
+                     LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+              FROM t)
+            SELECT conv_id, turn_idx, role FROM l WHERE prev = role
+        """,
+        "conv_collapse_repeats": f"""
+            WITH t AS ({_ROLE_RAMP_CTE}),
+            l AS (
+              SELECT conv_id, turn_idx, role, text,
+                     LAG(role || chr(1) || text) OVER
+                       (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+              FROM t)
+            SELECT conv_id, turn_idx, role, text FROM l
+            WHERE prev IS NULL OR prev <> role || chr(1) || text
+        """,
+        "conv_tool_loops": f"""
+            WITH t AS ({_ROLE_RAMP_CTE}),
+            c AS (
+              SELECT conv_id, turn_idx, role,
+                     CASE WHEN LAG(role || chr(1) || text) OVER w
+                               IS DISTINCT FROM role || chr(1) || text
+                          THEN 1 ELSE 0 END AS chg
+              FROM t
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            i AS (
+              SELECT conv_id, turn_idx, role,
+                     SUM(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS island
+              FROM c)
+            SELECT conv_id, MIN(role) AS role,
+                   MIN(turn_idx)::INT AS run_start_idx,
+                   COUNT(*)::INT AS run_len
+            FROM i GROUP BY conv_id, island
+            HAVING COUNT(*) >= 3
         """,
         "text_heavy_hitters": rf"""
             WITH toks AS (

@@ -94,6 +94,11 @@ HEADLINE = [
     "p1_resume_bloom",
     "table_diff",
     "web_url_canon",
+    "text_heavy_hitters",
+    "web_boilerplate_strip",
+    "ctx_assemble",
+    "ctx_pairs",
+    "conv_render",
 ]
 
 

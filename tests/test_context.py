@@ -1,0 +1,207 @@
+"""Conversation-context assembly vs exact python twins; chunked ==
+unchunked exactness; pair segmentation; render ordering."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfwf_spark.operators.context import (
+    alternation_violations,
+    assemble_context,
+    collapse_repeated_turns,
+    detect_tool_loops,
+    prompt_response_pairs,
+    render_conversations,
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def _rows(conv, triples):
+    """triples: (turn_idx, role, text)"""
+    return [
+        (conv, i, r, t, "", T0 + timedelta(seconds=7 * i))
+        for (i, r, t) in triples
+    ]
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    data = _rows(
+        "c1",
+        [
+            (0, "user", "hello"),
+            (1, "assistant", "hi there"),
+            (2, "user", "do thing"),
+            (3, "tool", "tool output"),
+            (4, "assistant", "done"),
+            (5, "user", "thanks"),
+        ],
+    ) + _rows(
+        "c2",
+        [
+            (0, "user", "solo question"),
+            (1, "assistant", "solo answer"),
+        ],
+    )
+    return spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def _ctx_twin(triples, k, sep="\n"):
+    ents = [f"{r}: {t}" for (_, r, t) in triples]
+    return {
+        triples[i][0]: sep.join(ents[max(0, i - k) : i])
+        for i in range(len(triples))
+    }
+
+
+def test_assemble_context_matches_twin(spark, turns):
+    out = assemble_context(turns, k=2).filter(F.col("conv_id") == "c1")
+    got = {r["turn_idx"]: r["context"] for r in out.collect()}
+    want = _ctx_twin(
+        [
+            (0, "user", "hello"),
+            (1, "assistant", "hi there"),
+            (2, "user", "do thing"),
+            (3, "tool", "tool output"),
+            (4, "assistant", "done"),
+            (5, "user", "thanks"),
+        ],
+        k=2,
+    )
+    assert got == want
+    assert got[0] == ""  # opening turn: empty, not null
+
+
+@pytest.mark.parametrize("chunk_size", [2, 3, 4, 100])
+def test_chunked_equals_unchunked(spark, turns, chunk_size):
+    plain = {
+        (r["conv_id"], r["turn_idx"]): r["context"]
+        for r in assemble_context(turns, k=2).collect()
+    }
+    chunked = {
+        (r["conv_id"], r["turn_idx"]): r["context"]
+        for r in assemble_context(turns, k=2, chunk_size=chunk_size).collect()
+    }
+    assert chunked == plain
+
+
+def test_chunked_schema_matches_plain(spark, turns):
+    plain = assemble_context(turns, k=2)
+    chunked = assemble_context(turns, k=2, chunk_size=4)
+    assert chunked.columns == plain.columns  # helper cols dropped
+
+
+def test_chunk_size_below_k_rejected(spark, turns):
+    with pytest.raises(ValueError, match="chunk_size"):
+        assemble_context(turns, k=3, chunk_size=2)
+
+
+def test_validate_rejects_sparse_chunks(spark):
+    # turn_idx jumps: chunk 0 holds a single row < k=2 while chunk 2
+    # exists -> dup rows cannot cover chunk 1's frame.
+    df = spark.createDataFrame(
+        [("c", 0, "user", "a", "", T0), ("c", 9, "user", "b", "", T0)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="sparse"):
+        assemble_context(df, k=2, chunk_size=4, validate=True)
+
+
+def test_truncation_applied_per_turn(spark, turns):
+    out = assemble_context(turns, k=1, max_chars_per_turn=2).filter(
+        (F.col("conv_id") == "c1") & (F.col("turn_idx") == 1)
+    )
+    assert out.collect()[0]["context"] == "user: he"
+
+
+def test_prompt_response_pairs(spark, turns):
+    out = prompt_response_pairs(turns).orderBy("conv_id", "pair_idx").collect()
+    got = [
+        (r["conv_id"], r["pair_idx"], r["response_turn_idx"], r["prompt"], r["response"])
+        for r in out
+    ]
+    assert got == [
+        ("c1", 0, 1, "user: hello", "hi there"),
+        ("c1", 1, 4, "user: do thing\ntool: tool output", "done"),
+        ("c2", 0, 1, "user: solo question", "solo answer"),
+    ]
+    # trailing 'thanks' (no response after it) produced no pair
+    assert all(r["response"] is not None for r in out)
+
+
+def test_render_conversations(spark, turns):
+    out = {r["conv_id"]: r for r in render_conversations(turns).collect()}
+    assert out["c2"]["rendered"] == "user: solo question\nassistant: solo answer"
+    assert out["c2"]["n_turns"] == 2
+    assert out["c2"]["n_chars"] == len(out["c2"]["rendered"])
+    assert out["c1"]["rendered"].startswith("user: hello\nassistant: hi there")
+
+
+@pytest.fixture(scope="module")
+def loopy(spark):
+    # c: run of 3 identical tool turns + a double-send; d: clean
+    data = [
+        ("c", 0, "user", "go", "", T0),
+        ("c", 1, "tool", "timeout", "", T0),
+        ("c", 2, "tool", "timeout", "", T0),
+        ("c", 3, "tool", "timeout", "", T0),
+        ("c", 4, "assistant", "giving up", "", T0),
+        ("c", 5, "user", "retry", "", T0),
+        ("c", 6, "user", "retry", "", T0),
+        ("c", 7, "tool", "timeout", "", T0),  # same text, non-adjacent run
+        ("d", 0, "user", "hi", "", T0),
+        ("d", 1, "assistant", "hello", "", T0),
+    ]
+    return spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def test_collapse_repeated_turns(spark, loopy):
+    out = collapse_repeated_turns(loopy)
+    assert out.columns == loopy.columns
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in out.collect())
+    # keeps the FIRST of each run: drops c2, c3, c6
+    assert got == [
+        ("c", 0), ("c", 1), ("c", 4), ("c", 5), ("c", 7), ("d", 0), ("d", 1)
+    ]
+
+
+def test_detect_tool_loops(spark, loopy):
+    got = {
+        (r["conv_id"], r["role"], r["run_start_idx"], r["run_len"])
+        for r in detect_tool_loops(loopy, min_run=3).collect()
+    }
+    assert got == {("c", "tool", 1, 3)}
+    # min_run=2 also surfaces the user double-send
+    got2 = {
+        (r["conv_id"], r["role"], r["run_start_idx"], r["run_len"])
+        for r in detect_tool_loops(loopy, min_run=2).collect()
+    }
+    assert got2 == {("c", "tool", 1, 3), ("c", "user", 5, 2)}
+
+
+def test_detect_tool_loops_min_run_guard(spark, loopy):
+    with pytest.raises(ValueError, match="min_run"):
+        detect_tool_loops(loopy, min_run=1)
+
+
+def test_alternation_violations(spark):
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "user", "a", "", T0),
+            ("c", 1, "user", "b", "", T0),      # violation
+            ("c", 2, "assistant", "c", "", T0),
+            ("c", 3, "assistant", "d", "", T0), # violation
+            ("d", 0, "user", "e", "", T0),      # first turn never flags
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {(r["conv_id"], r["turn_idx"]) for r in alternation_violations(df).collect()}
+    assert got == {("c", 1), ("c", 3)}
