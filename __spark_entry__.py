@@ -213,6 +213,45 @@ def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new, "doc_id", compare_cols=["source", "text"])
 
 
+def _q_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins merge (diff.merge_upsert): a deterministic
+    update batch — md5-bucket 15% newer-version edits, 10% stale
+    replays, 5% inserts under doc_id+10M, 8% tombstones — applied to
+    the documents snapshot. One union + one row_number window, no
+    join; the oracle is the same state machine as a QUALIFY query."""
+    from pdfwf_spark.operators.diff import merge_upsert
+    from pdfwf_spark.operators.sampling import _hash_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = docs.withColumn("version", F.lit(1).cast("long"))
+
+    def _slice(salt: str, frac: float):
+        return docs.where(
+            _hash_bucket(F.col("doc_id"), salt) < int(frac * (1 << 32))
+        )
+
+    upd = _slice("upd", 0.15).select(
+        "doc_id", "source",
+        F.concat(F.col("text"), F.lit(" [v2]")).alias("text"),
+        F.lit(2).cast("long").alias("version"), F.lit(False).alias("deleted"),
+    )
+    stale = _slice("stale", 0.10).select(
+        "doc_id", "source",
+        F.concat(F.col("text"), F.lit(" [v0]")).alias("text"),
+        F.lit(0).cast("long").alias("version"), F.lit(False).alias("deleted"),
+    )
+    ins = _slice("ins", 0.05).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "source", "text",
+        F.lit(2).cast("long").alias("version"), F.lit(False).alias("deleted"),
+    )
+    tomb = _slice("tomb", 0.08).select(
+        "doc_id", "source", "text",
+        F.lit(3).cast("long").alias("version"), F.lit(True).alias("deleted"),
+    )
+    updates = upd.unionByName(stale).unionByName(ins).unionByName(tomb)
+    return merge_upsert(base, updates, "doc_id", "version", delete_col="deleted")
+
+
 def _q_p2_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 — deterministic input limit (convert.py:260-265)."""
     events = _t(spark, sf_dir, "events")
@@ -1574,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_resume_anti_join": _q_p1_resume_anti_join,
         "p1_resume_bloom": _q_p1_resume_bloom,  # r5: row-level bloom resume
         "table_diff": _q_table_diff,  # r5: snapshot diff
+        "table_merge": _q_table_merge,  # r5: CDC latest-wins upsert
         "p2_limit": _q_p2_limit,
         "p3_readability_filter": _q_p3_readability_filter,
         "f1_doi_extract": _q_f1_doi_extract,
@@ -1614,7 +1654,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "grouped_quantiles": _q_grouped_quantiles,  # r5: per-group quantiles
         "text_heavy_hitters": _q_text_heavy_hitters,  # r5: Misra-Gries 2-pass
-        "text_clf_score": _q_text_clf_score,
         "web_domain_counts": _q_web_domain_counts,
         "web_url_canon": _q_web_url_canon,  # r5: canonical-URL dedup key
         "web_boilerplate_strip": _q_web_boilerplate_strip,  # r5: CCNet-style lines
@@ -1632,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window lsh_verified/band_pairs queries.)
         "dedup_minhash_sig": _q_dedup_minhash_sig,
         "dedup_simhash": _q_dedup_simhash,
+        "text_clf_score": _q_text_clf_score,  # text_quality is the in-window rep
         "conv_render": _q_conv_render,  # r5: whole-conversation render
         "conv_alternation": _q_conv_alternation,  # r5: role-alternation QA
         "conv_collapse_repeats": _q_conv_collapse_repeats,  # r5: retry-storm collapse
@@ -2054,6 +2094,41 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'unchanged' END AS change
               FROM documents o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
             WHERE change <> 'unchanged'
+        """,
+        "table_merge": f"""
+            WITH ups AS (
+              SELECT doc_id, source, text || ' [v2]' AS text,
+                     2::BIGINT AS version, FALSE AS deleted
+              FROM documents
+              WHERE ('0x' || substr(md5('upd#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    < {int(0.15 * (1 << 32))}
+              UNION ALL
+              SELECT doc_id, source, text || ' [v0]', 0::BIGINT, FALSE
+              FROM documents
+              WHERE ('0x' || substr(md5('stale#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    < {int(0.10 * (1 << 32))}
+              UNION ALL
+              SELECT doc_id + 10000000, source, text, 2::BIGINT, FALSE
+              FROM documents
+              WHERE ('0x' || substr(md5('ins#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    < {int(0.05 * (1 << 32))}
+              UNION ALL
+              SELECT doc_id, source, text, 3::BIGINT, TRUE
+              FROM documents
+              WHERE ('0x' || substr(md5('tomb#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    < {int(0.08 * (1 << 32))}
+            ),
+            allrows AS (
+              SELECT doc_id, source, text, 1::BIGINT AS version,
+                     FALSE AS deleted, 0 AS src
+              FROM documents
+              UNION ALL
+              SELECT doc_id, source, text, version, deleted, 1 FROM ups)
+            SELECT doc_id, source, text, version FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY version DESC, src DESC) AS rn
+              FROM allrows)
+            WHERE rn = 1 AND NOT deleted
         """,
         "p2_limit": """
             SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 100

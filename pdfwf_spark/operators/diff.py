@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,6 +79,60 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.where(F.col("change") != "unchanged")
     return out
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str] | str,
+    version_cols: Sequence[str] | str = "ts",
+    delete_col: str | None = None,
+) -> DataFrame:
+    """CDC latest-wins merge: apply an update batch to a base
+    snapshot, keeping per key the row with the greatest
+    `version_cols` (ties go to the update side — the MERGE
+    convention). Rows whose winning version has `delete_col` true are
+    dropped (tombstones). Output schema = base schema.
+
+    Plan shape: unionByName + ONE row_number window on the key — a
+    single hash shuffle carrying (key, version, payload); no join, so
+    a mega-key degrades into one ordered partition scan rather than a
+    pair blowup. At petabyte scale the base side is the big one and
+    arrives partitioned by key from the previous merge, so AQE plans
+    the exchange around the small update batch. Keys need not be
+    unique on either side: the window picks one winner per key
+    globally (so a batch carrying several versions of one key
+    collapses to its newest — exactly-once replay semantics).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    vers = [version_cols] if isinstance(version_cols, str) else list(version_cols)
+    out_cols = base.columns
+    for side, df in (("base", base), ("updates", updates)):
+        absent = [c for c in keys + vers if c not in df.columns]
+        if absent:
+            raise ValueError(f"merge columns absent from {side} side: {absent}")
+    missing = [c for c in out_cols if c not in updates.columns]
+    if missing:
+        raise ValueError(f"update batch lacks base columns: {missing}")
+
+    del_flag = (
+        F.col(delete_col)
+        if delete_col is not None and delete_col in updates.columns
+        else F.lit(False)
+    )
+    b = base.select(*out_cols, F.lit(0).alias("_src"), F.lit(False).alias("_del"))
+    u = updates.select(
+        *out_cols, F.lit(1).alias("_src"), F.coalesce(del_flag, F.lit(False)).alias("_del")
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(v).desc() for v in vers], F.col("_src").desc()
+    )
+    return (
+        b.unionByName(u)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & ~F.col("_del"))
+        .select(*out_cols)
+    )
 
 
 def diff_summary(

@@ -1257,6 +1257,49 @@ def test_snapshot_diff_subset_columns_and_guards(spark):
         snapshot_diff(old, new, "nope")
 
 
+def test_merge_upsert(spark):
+    from pdfwf_spark.operators.diff import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id long, s string, ts long",
+    )
+    ups = spark.createDataFrame(
+        [
+            (2, "b2", 25),   # newer -> wins
+            (3, "stale", 5), # older -> base wins
+            (4, "d", 40),    # insert
+            (4, "d2", 41),   # same batch, newer version of same key
+        ],
+        "id long, s string, ts long",
+    )
+    got = {r["id"]: (r["s"], r["ts"])
+           for r in merge_upsert(base, ups, "id", "ts").collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 25), 3: ("c", 30), 4: ("d2", 41)}
+
+
+def test_merge_upsert_ties_and_tombstones(spark):
+    from pdfwf_spark.operators.diff import merge_upsert
+
+    base = spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                                 "id long, s string, ts long")
+    ups = spark.createDataFrame(
+        [(1, "a2", 10, False), (2, "gone", 30, True), (5, "x", 1, None)],
+        "id long, s string, ts long, deleted boolean",
+    )
+    out = merge_upsert(base, ups, "id", "ts", delete_col="deleted")
+    got = {r["id"]: r["s"] for r in out.collect()}
+    # equal ts -> update side wins; tombstone removes id 2;
+    # NULL delete flag coalesces to keep
+    assert got == {1: "a2", 5: "x"}
+    assert out.columns == base.columns
+
+    with pytest.raises(ValueError, match="absent"):
+        merge_upsert(base, ups.drop("ts"), "id", "ts")
+    with pytest.raises(ValueError, match="lacks"):
+        merge_upsert(base, ups.drop("s"), "id", "ts")
+
+
 # ---------------------------------------------------------------- url canon
 
 
