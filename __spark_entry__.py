@@ -252,6 +252,21 @@ def _q_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(base, updates, "doc_id", "version", delete_col="deleted")
 
 
+def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key health report (partitioning.profile_key_skew) for
+    events.user_id — the decision data behind salted_repartition."""
+    from pdfwf_spark.operators.partitioning import profile_key_skew
+
+    return profile_key_skew(_t(spark, sf_dir, "events"), "user_id")
+
+
+def _q_skew_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest shuffle keys (partitioning.heavy_keys)."""
+    from pdfwf_spark.operators.partitioning import heavy_keys
+
+    return heavy_keys(_t(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
 def _q_p2_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 — deterministic input limit (convert.py:260-265)."""
     events = _t(spark, sf_dir, "events")
@@ -1676,6 +1691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_alternation": _q_conv_alternation,  # r5: role-alternation QA
         "conv_collapse_repeats": _q_conv_collapse_repeats,  # r5: retry-storm collapse
         "conv_tool_loops": _q_conv_tool_loops,  # r5: islands loop detection
+        "skew_profile": _q_skew_profile,  # r5: shuffle-key health report
+        "skew_heavy_keys": _q_skew_heavy_keys,  # r5: heaviest keys to salt
         "corpus_quantiles": _q_corpus_quantiles,
         "f2_blank_collapse": _q_f2_blank_collapse,
         "f4_abstract_threshold": _q_f4_abstract_threshold,
@@ -3179,6 +3196,20 @@ def oracle_sql() -> dict[str, str]:
                      LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
               FROM t)
             SELECT conv_id, turn_idx, role FROM l WHERE prev = role
+        """,
+        "skew_profile": """
+            WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+            SELECT SUM(n)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_keys,
+                   MAX(n)::BIGINT AS max_key_rows,
+                   ((1000 * MAX(n) * COUNT(*)) // SUM(n))::BIGINT AS skew_milli
+            FROM c
+        """,
+        "skew_heavy_keys": """
+            WITH c AS (SELECT user_id, COUNT(*) AS n_rows
+                       FROM events GROUP BY user_id)
+            SELECT user_id, n_rows,
+                   ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id)::INT AS rank
+            FROM c QUALIFY rank <= 10
         """,
         "conv_collapse_repeats": f"""
             WITH t AS ({_ROLE_RAMP_CTE}),

@@ -1300,6 +1300,23 @@ def test_merge_upsert_ties_and_tombstones(spark):
         merge_upsert(base, ups.drop("s"), "id", "ts")
 
 
+def test_profile_key_skew_and_heavy_keys(spark):
+    from pdfwf_spark.operators.partitioning import heavy_keys, profile_key_skew
+
+    # key 'a' holds 6 of 10 rows; keys b..e hold 1 each
+    rows = [("a", i) for i in range(6)] + [(k, 0) for k in "bcde"]
+    df = spark.createDataFrame(rows, "k string, v int")
+    prof = profile_key_skew(df, "k").collect()[0]
+    assert (prof["n_rows"], prof["n_keys"], prof["max_key_rows"]) == (10, 5, 6)
+    assert prof["skew_milli"] == 3000  # max/mean = 6/2 -> 3000 milli
+
+    top = heavy_keys(df, "k", top_n=2).collect()
+    assert [(r["k"], r["n_rows"], r["rank"]) for r in top] == [("a", 6, 1), ("b", 1, 2)]
+
+    with pytest.raises(ValueError, match="absent"):
+        profile_key_skew(df, "nope")
+
+
 # ---------------------------------------------------------------- url canon
 
 
