@@ -252,6 +252,23 @@ def _q_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(base, updates, "doc_id", "version", delete_col="deleted")
 
 
+def _q_conv_segment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation dialogue borrowing
+    (context.dialogue_segment_pairs): conversations sharing >= 2
+    identical 3-turn segments. Turn text cycles over 120 scripted
+    lines ('line ' || doc_id%120, mirrored in the oracle) so
+    templated exchanges genuinely repeat across conversations."""
+    from pdfwf_spark.operators.context import dialogue_segment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        F.concat(F.lit("conv-"), F.lpad((F.col("doc_id") % 50).cast("string"), 6, "0")).alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.concat(F.lit("line "), (F.col("doc_id") % 120).cast("string")).alias("text"),
+    )
+    return dialogue_segment_pairs(t, w=3, min_shared=2)
+
+
 def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key health report (partitioning.profile_key_skew) for
     events.user_id — the decision data behind salted_repartition."""
@@ -1691,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_alternation": _q_conv_alternation,  # r5: role-alternation QA
         "conv_collapse_repeats": _q_conv_collapse_repeats,  # r5: retry-storm collapse
         "conv_tool_loops": _q_conv_tool_loops,  # r5: islands loop detection
+        "conv_segment_pairs": _q_conv_segment_pairs,  # r5: dialogue borrowing
         "skew_profile": _q_skew_profile,  # r5: shuffle-key health report
         "skew_heavy_keys": _q_skew_heavy_keys,  # r5: heaviest keys to salt
         "corpus_quantiles": _q_corpus_quantiles,
@@ -3196,6 +3214,29 @@ def oracle_sql() -> dict[str, str]:
                      LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
               FROM t)
             SELECT conv_id, turn_idx, role FROM l WHERE prev = role
+        """,
+        "conv_segment_pairs": f"""
+            WITH t AS (
+              SELECT 'conv-' || lpad((doc_id % 50)::VARCHAR, 6, '0') AS conv_id,
+                     (doc_id // 50)::INT AS turn_idx,
+                     'line ' || (doc_id % 120)::VARCHAR AS text
+              FROM documents),
+            s AS (
+              SELECT conv_id,
+                     md5(text || chr(1) || LEAD(text, 1) OVER w
+                              || chr(1) || LEAD(text, 2) OVER w) AS seg_sig,
+                     LEAD(text, 2) OVER w AS l2
+              FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            d AS (SELECT DISTINCT conv_id, seg_sig FROM s WHERE l2 IS NOT NULL),
+            c AS (
+              SELECT conv_id, seg_sig FROM (
+                SELECT conv_id, seg_sig,
+                       COUNT(*) OVER (PARTITION BY seg_sig) AS gn FROM d)
+              WHERE gn <= {_MAX_BUCKET})
+            SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, COUNT(*) AS n_shared
+            FROM c a JOIN c b USING (seg_sig)
+            WHERE a.conv_id < b.conv_id
+            GROUP BY conv_a, conv_b HAVING COUNT(*) >= 2
         """,
         "skew_profile": """
             WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)

@@ -304,6 +304,65 @@ def detect_tool_loops(
     )
 
 
+def dialogue_segment_pairs(
+    df: DataFrame,
+    w: int = 3,
+    min_shared: int = 1,
+    max_bucket: int | None = None,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx", "ts"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-conversation verbatim dialogue borrowing: pairs of
+    conversations sharing >= min_shared identical w-turn segments
+    (scripted/templated exchanges, copy-pasted sessions) — the
+    turn-granularity sibling of dedup.passage_pairs (8-gram token
+    passages). Output: (conv_a, conv_b, n_shared).
+
+    Shape: w-1 LEAD columns per turn build the segment inside the one
+    conv-ordered window, md5 collapses it to a fixed-width signature
+    BEFORE anything shuffles again, (conv, sig) is deduplicated, hot
+    signatures are capped (dedup.cap_hot_groups — the same guard as
+    every banded self-join), and the pair join is a plain equi-join
+    on the signature. Work: O(turns) + O(sum of bucket^2) with
+    bucket <= max_bucket."""
+    if w < 2:
+        raise ValueError(f"w must be >= 2, got {w}")
+    from pdfwf_spark.operators.dedup import DEFAULT_MAX_BUCKET, cap_hot_groups
+
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
+    order = [F.col(c) for c in order_cols if c in df.columns]
+    win = Window.partitionBy(conv_col).orderBy(*order)
+    parts = [F.col(text_col)] + [
+        F.lead(text_col, i).over(win) for i in range(1, w)
+    ]
+    sig = F.md5(F.concat_ws("\x01", *parts))
+    # sig and the completeness flag evaluate in ONE projection over
+    # the unfiltered turns (filtering first would make the leads
+    # recompute over the survivor rows and corrupt the segments)
+    shingles = (
+        df.select(
+            F.col(conv_col),
+            sig.alias("seg_sig"),
+            F.lead(text_col, w - 1).over(win).isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .select(conv_col, "seg_sig")
+        .distinct()
+    )
+    capped = cap_hot_groups(shingles, ["seg_sig"], max_bucket)
+    a = capped.select(F.col(conv_col).alias("conv_a"), "seg_sig")
+    b = capped.select(F.col(conv_col).alias("conv_b"), "seg_sig")
+    return (
+        a.join(b, "seg_sig")
+        .filter(F.col("conv_a") < F.col("conv_b"))
+        .groupBy("conv_a", "conv_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def alternation_violations(
     df: DataFrame,
     conv_col: str = "conv_id",

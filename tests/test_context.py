@@ -192,6 +192,48 @@ def test_detect_tool_loops_min_run_guard(spark, loopy):
         detect_tool_loops(loopy, min_run=1)
 
 
+def test_dialogue_segment_pairs(spark):
+    from pdfwf_spark.operators.context import dialogue_segment_pairs
+
+    # a and b share the 3-turn run (x,y,z) twice-shifted? build:
+    # a: x y z w ; b: q x y z ; c: unrelated
+    def conv(cid, texts):
+        return [(cid, i, "user", t, "", T0) for i, t in enumerate(texts)]
+
+    df = spark.createDataFrame(
+        conv("a", ["x", "y", "z", "w"])
+        + conv("b", ["q", "x", "y", "z"])
+        + conv("c", ["m", "n", "o", "p"]),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {(r["conv_a"], r["conv_b"]): r["n_shared"]
+           for r in dialogue_segment_pairs(df, w=3).collect()}
+    assert got == {("a", "b"): 1}  # only the (x,y,z) segment is shared
+
+    # w=2: (x,y) and (y,z) shared -> n_shared 2
+    got2 = {(r["conv_a"], r["conv_b"]): r["n_shared"]
+            for r in dialogue_segment_pairs(df, w=2).collect()}
+    assert got2 == {("a", "b"): 2}
+
+    with pytest.raises(ValueError, match="w must"):
+        dialogue_segment_pairs(df, w=1)
+
+
+def test_dialogue_segment_pairs_dedups_repeats(spark):
+    from pdfwf_spark.operators.context import dialogue_segment_pairs
+
+    # the SAME segment appearing twice within one conv counts once
+    rows = [("a", i, "user", t, "", T0)
+            for i, t in enumerate(["x", "y", "x", "y", "x"])]
+    rows += [("b", i, "user", t, "", T0) for i, t in enumerate(["x", "y"])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {(r["conv_a"], r["conv_b"]): r["n_shared"]
+           for r in dialogue_segment_pairs(df, w=2).collect()}
+    assert got == {("a", "b"): 1}
+
+
 def test_alternation_violations(spark):
     df = spark.createDataFrame(
         [
