@@ -269,6 +269,37 @@ def _q_conv_segment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dialogue_segment_pairs(t, w=3, min_shared=2)
 
 
+def _q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation health metrics (curation.conversation_stats)
+    over the run-shaped role-ramp transcript: double-send counts,
+    longest same-role run, tool share — all integer-unit."""
+    from pdfwf_spark.curation import conversation_stats
+
+    return conversation_stats(_role_ramp_transcript(spark, sf_dir))
+
+
+def _q_conv_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level curation (curation.curate_conversations):
+    turns survive only if their conversation passes the health floors
+    (here: >= 2 turns and tool share <= 300 milli — the ramp makes
+    ~30% of conversations fail the tool floor at sf0.01)."""
+    from pdfwf_spark.curation import curate_conversations
+
+    return curate_conversations(
+        _role_ramp_transcript(spark, sf_dir), min_turns=2, max_tool_milli=300
+    )
+
+
+def _q_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable deterministic HLL register state
+    (sketch.hll_register_state) for distinct users — the shuffle is
+    64 rows per map task regardless of input size; the scalar
+    estimate derives driver-side via sketch.hll_estimate."""
+    from pdfwf_spark.operators.sketch import hll_register_state
+
+    return hll_register_state(_t(spark, sf_dir, "events"), "user_id", n_registers=64)
+
+
 def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key health report (partitioning.profile_key_skew) for
     events.user_id — the decision data behind salted_repartition."""
@@ -1709,6 +1740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_collapse_repeats": _q_conv_collapse_repeats,  # r5: retry-storm collapse
         "conv_tool_loops": _q_conv_tool_loops,  # r5: islands loop detection
         "conv_segment_pairs": _q_conv_segment_pairs,  # r5: dialogue borrowing
+        "conv_stats": _q_conv_stats,  # r5: per-conversation health metrics
+        "conv_curate": _q_conv_curate,  # r5: conversation-level floors
+        "hll_state": _q_hll_state,  # r5: mergeable distinct-count sketch
         "skew_profile": _q_skew_profile,  # r5: shuffle-key health report
         "skew_heavy_keys": _q_skew_heavy_keys,  # r5: heaviest keys to salt
         "corpus_quantiles": _q_corpus_quantiles,
@@ -3237,6 +3271,59 @@ def oracle_sql() -> dict[str, str]:
             FROM c a JOIN c b USING (seg_sig)
             WHERE a.conv_id < b.conv_id
             GROUP BY conv_a, conv_b HAVING COUNT(*) >= 2
+        """,
+        "conv_stats": f"""
+            WITH t AS ({_ROLE_RAMP_CTE}),
+            c AS (
+              SELECT conv_id, turn_idx, role, length(text)::BIGINT AS len,
+                     CASE WHEN LAG(role) OVER w IS DISTINCT FROM role
+                          THEN 1 ELSE 0 END AS chg
+              FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            i AS (
+              SELECT conv_id, role, len,
+                     SUM(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS island
+              FROM c),
+            g AS (
+              SELECT conv_id, island, COUNT(*) AS cnt, SUM(len) AS chars,
+                     SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS tool
+              FROM i GROUP BY conv_id, island)
+            SELECT conv_id, SUM(cnt)::INT AS n_turns, SUM(chars)::BIGINT AS n_chars,
+                   (SUM(cnt) - COUNT(*))::INT AS n_violations,
+                   MAX(cnt)::INT AS max_run_len,
+                   ((1000 * SUM(tool)) // SUM(cnt))::BIGINT AS tool_milli
+            FROM g GROUP BY conv_id
+        """,
+        "conv_curate": f"""
+            WITH t AS ({_ROLE_RAMP_CTE}),
+            c AS (
+              SELECT conv_id, turn_idx, role, text,
+                     CASE WHEN LAG(role) OVER w IS DISTINCT FROM role
+                          THEN 1 ELSE 0 END AS chg
+              FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            i AS (
+              SELECT conv_id, role,
+                     SUM(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS island
+              FROM c),
+            g AS (
+              SELECT conv_id, island, COUNT(*) AS cnt,
+                     SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS tool
+              FROM i GROUP BY conv_id, island),
+            keep AS (
+              SELECT conv_id FROM g GROUP BY conv_id
+              HAVING SUM(cnt) >= 2
+                 AND ((1000 * SUM(tool)) // SUM(cnt)) <= 300)
+            SELECT t.* FROM t SEMI JOIN keep USING (conv_id)
+        """,
+        "hll_state": """
+            WITH h AS (
+              SELECT ('0x' || substr(md5('hll#' || user_id::VARCHAR), 1, 15))::BIGINT AS u
+              FROM events),
+            r AS (SELECT (u % 64)::INT AS register, u // 64 AS w FROM h)
+            SELECT register,
+                   MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END)::INT AS max_rho
+            FROM r GROUP BY register
         """,
         "skew_profile": """
             WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)

@@ -99,6 +99,13 @@ HEADLINE = [
     "ctx_assemble",
     "ctx_pairs",
     "conv_render",
+    "table_merge",
+    "skew_profile",
+    "conv_segment_pairs",
+    "conv_stats",
+    "conv_curate",
+    "conv_tool_loops",
+    "hll_state",
 ]
 
 

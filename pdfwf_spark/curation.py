@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdfwf_spark.config import CurateConfig
@@ -135,3 +135,75 @@ def curate(
         out = split_assign(out, id_col)
 
     return CurateResult(curated=out, stage_counts=stage_counts)
+
+
+def conversation_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx", "ts"),
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation health metrics, all integer-unit:
+    (conv_id, n_turns, n_chars, n_violations, max_run_len,
+    tool_milli) where n_violations counts turns repeating the
+    previous turn's role, max_run_len is the longest same-role run,
+    and tool_milli is the tool-turn share in milli.
+
+    Shape: ONE ordered window per conversation tags each turn with
+    its same-role island (running sum of role changes), then a
+    two-level aggregate (conv, island) -> conv with map-side combine
+    — a mega-conversation costs one ordered partition scan, never a
+    join."""
+    order = [F.col(c) for c in order_cols if c in turns.columns]
+    w = Window.partitionBy(conv_col).orderBy(*order)
+    chg = (
+        F.lag(role_col).over(w).isNull()
+        | (F.lag(role_col).over(w) != F.col(role_col))
+    ).cast("int")
+    tagged = turns.select(
+        F.col(conv_col),
+        F.col(role_col),
+        F.length(text_col).cast("long").alias("_len"),
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_island"),
+    )
+    islands = tagged.groupBy(conv_col, "_island").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("_len").alias("_chars"),
+        F.sum((F.col(role_col) == "tool").cast("int")).alias("_tool"),
+    )
+    return islands.groupBy(conv_col).agg(
+        F.sum("_cnt").cast("int").alias("n_turns"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        (F.sum("_cnt") - F.count(F.lit(1))).cast("int").alias("n_violations"),
+        F.max("_cnt").cast("int").alias("max_run_len"),
+        F.expr("CAST((1000 * sum(_tool)) DIV sum(_cnt) AS BIGINT)").alias("tool_milli"),
+    )
+
+
+def curate_conversations(
+    turns: DataFrame,
+    min_turns: int = 2,
+    max_violations: int | None = None,
+    max_run_len: int | None = None,
+    max_tool_milli: int | None = None,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx", "ts"),
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level curation: keep only turns of conversations
+    passing the health floors (enough turns, bounded double-sends,
+    no stuck runs, bounded tool share). The turn table survives
+    unchanged otherwise — the conversation is the unit of judgment,
+    the turn is the unit of data. One left-semi join of the corpus
+    against the O(conversations) keep list."""
+    stats = conversation_stats(turns, conv_col, order_cols, role_col, text_col)
+    keep = stats.filter(F.col("n_turns") >= min_turns)
+    if max_violations is not None:
+        keep = keep.filter(F.col("n_violations") <= max_violations)
+    if max_run_len is not None:
+        keep = keep.filter(F.col("max_run_len") <= max_run_len)
+    if max_tool_milli is not None:
+        keep = keep.filter(F.col("tool_milli") <= max_tool_milli)
+    return turns.join(keep.select(conv_col), conv_col, "left_semi")

@@ -450,3 +450,68 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_count)
     )
+
+
+#: md5 yields 60 usable bits (15 hex chars — the widest slice that
+#: stays positive in a signed 64-bit cast on BOTH engines); 6 go to
+#: the register index, 54 to the rank pattern.
+HLL_HASH_BITS = 60
+
+
+def hll_register_state(
+    df: DataFrame,
+    key_col: str,
+    n_registers: int = 64,
+    salt: str = "hll",
+) -> DataFrame:
+    """Deterministic HyperLogLog REGISTER STATE for the distinct count
+    of `key_col`: (register, max_rho) with one row per non-empty
+    register. This is the mergeable scale object — states from any
+    partitioning, shard, or day union together with max() — and it is
+    exactly reproducible (md5-based, no engine-private hashing), so
+    unlike approx_count_distinct it hash-oracles cross-engine.
+
+    Plan: scan-side integer codegen (md5 -> 60-bit int -> register /
+    bit-length rho) then ONE map-side-combined max per register —
+    shuffle volume is n_registers rows per map task, independent of
+    row count. Derive the scalar estimate driver-side with
+    hll_estimate() (the float harmonic mean lives OUTSIDE the
+    relational plan on n_registers rows).
+    """
+    if n_registers < 2 or n_registers & (n_registers - 1):
+        raise ValueError(f"n_registers must be a power of two >= 2, got {n_registers}")
+    reg_bits = n_registers.bit_length() - 1
+    w_bits = HLL_HASH_BITS - reg_bits
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "#"), F.col(key_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    tagged = df.select(
+        F.pmod(u, F.lit(n_registers)).cast("int").alias("register"),
+        F.floor(u / F.lit(n_registers)).cast("long").alias("_w"),
+    )
+    # rho = leading zeros of the w_bits-wide pattern + 1; bit_length
+    # via base-2 string length (integer-exact on both engines)
+    rho = F.when(F.col("_w") == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.conv(F.col("_w").cast("string"), 10, 2))
+    )
+    return tagged.groupBy("register").agg(
+        F.max(rho).cast("int").alias("max_rho")
+    )
+
+
+def hll_estimate(state_rows, n_registers: int = 64) -> int:
+    """Driver-side HLL estimate from hll_register_state() rows
+    ((register, max_rho) tuples or Rows). Standard bias-corrected
+    harmonic mean with the small-range linear-counting correction
+    (Flajolet et al. 2007) — float math confined to n_registers
+    values."""
+    m = n_registers
+    rhos = {int(r[0]): int(r[1]) for r in state_rows}
+    z = sum(2.0 ** -rhos.get(i, 0) for i in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / z
+    zeros = m - len(rhos)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return int(round(est))

@@ -234,6 +234,38 @@ def test_dialogue_segment_pairs_dedups_repeats(spark):
     assert got == {("a", "b"): 1}
 
 
+def test_conversation_stats(spark, loopy):
+    from pdfwf_spark.curation import conversation_stats
+
+    got = {r["conv_id"]: r for r in conversation_stats(loopy).collect()}
+    c = got["c"]
+    # c roles: user,tool,tool,tool,assistant,user,user,tool
+    assert c["n_turns"] == 8
+    assert c["n_violations"] == 3   # tool x2 extra + user double-send
+    assert c["max_run_len"] == 3
+    assert c["tool_milli"] == 500   # 4 of 8
+    assert c["n_chars"] == sum(
+        len(r["text"]) for r in loopy.collect() if r["conv_id"] == "c"
+    )
+    d = got["d"]
+    assert (d["n_turns"], d["n_violations"], d["max_run_len"], d["tool_milli"]) == (2, 0, 1, 0)
+
+
+def test_curate_conversations(spark, loopy):
+    from pdfwf_spark.curation import curate_conversations
+
+    # run floor kills c, keeps d
+    out = curate_conversations(loopy, min_turns=2, max_run_len=2)
+    assert {r["conv_id"] for r in out.collect()} == {"d"}
+    assert out.columns == loopy.columns
+    # violations floor
+    out2 = curate_conversations(loopy, max_violations=3)
+    assert {r["conv_id"] for r in out2.collect()} == {"c", "d"}
+    # tool share floor
+    out3 = curate_conversations(loopy, max_tool_milli=100)
+    assert {r["conv_id"] for r in out3.collect()} == {"d"}
+
+
 def test_alternation_violations(spark):
     df = spark.createDataFrame(
         [

@@ -204,3 +204,45 @@ def test_heavy_hitters_empty_and_guard(spark):
     assert heavy_hitters(empty, "v", 5).count() == 0
     with pytest.raises(ValueError, match="min_count"):
         heavy_hitters(empty, "v", 0)
+
+
+# ------------------------------------------------------------- hll state
+
+
+def test_hll_state_merge_and_accuracy(spark):
+    from pdfwf_spark.operators.sketch import hll_estimate, hll_register_state
+
+    n = 5000
+    df = spark.range(n).select((F.col("id") % 1000).alias("k"))
+    state = hll_register_state(df, "k", n_registers=64).collect()
+    est = hll_estimate(state, 64)
+    assert abs(est - 1000) / 1000 < 0.30  # m=64 -> ~13% std error
+
+    # mergeability: state(A) max-merged with state(B) == state(A|B)
+    a = spark.range(0, 600).select(F.col("id").alias("k"))
+    b = spark.range(400, 1000).select(F.col("id").alias("k"))
+    sa = {r["register"]: r["max_rho"] for r in hll_register_state(a, "k").collect()}
+    sb = {r["register"]: r["max_rho"] for r in hll_register_state(b, "k").collect()}
+    merged = {reg: max(sa.get(reg, 0), sb.get(reg, 0)) for reg in set(sa) | set(sb)}
+    union = {
+        r["register"]: r["max_rho"]
+        for r in hll_register_state(a.unionAll(b), "k").collect()
+    }
+    assert merged == union
+
+
+def test_hll_state_partitioning_invariant(spark):
+    from pdfwf_spark.operators.sketch import hll_register_state
+
+    df = spark.range(2000).select((F.col("id") % 300).alias("k"))
+    s1 = sorted(map(tuple, hll_register_state(df, "k").collect()))
+    s2 = sorted(map(tuple, hll_register_state(df.repartition(13), "k").collect()))
+    assert s1 == s2
+
+
+def test_hll_guard(spark):
+    from pdfwf_spark.operators.sketch import hll_register_state
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="power of two"):
+        hll_register_state(df, "k", n_registers=48)
