@@ -556,3 +556,104 @@ def test_windowed_turn_stats_batch_twin(spark):
         for r in windowed_turn_stats(df).collect()
     }
     assert rows == {(0, "user"): (3, 10), (30, "user"): (1, 4)}
+
+
+def test_streaming_context_matches_batch_twin(spark, tmp_path):
+    """In-order feed across micro-batches: streaming rolling-context
+    output equals operators/context.assemble_context on the union."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from pdfwf_spark.streaming.context import start_context_assembly
+
+    src = str(tmp_path / "csrc")
+    os.makedirs(src)
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+
+    def write_file(name, rows, mtime):
+        staging = str(tmp_path / f"cstage_{name}")
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(staging)
+        part = _glob.glob(staging + "/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        _shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    def turn(conv, i, role, text):
+        return (conv, i, role, text, "", t0 + timedelta(seconds=7 * i))
+
+    b1 = [turn("a", 0, "user", "q one"), turn("a", 1, "assistant", "a one"),
+          turn("b", 0, "user", "hello")]
+    b2 = [turn("a", 2, "user", "q two"), turn("a", 3, "assistant", "a two"),
+          turn("a", 4, "user", "q three"), turn("b", 1, "assistant", "hi")]
+    now = _time.time()
+    write_file("f1", b1, now)
+    write_file("f2", b2, now + 10)
+
+    out = str(tmp_path / "cout")
+    q = start_context_assembly(
+        spark, src, out, str(tmp_path / "cckpt"),
+        k=2, ttl_s=10**6, max_files_per_trigger=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r["conv_id"], r["turn_idx"]): (r["context"], r["n_ctx"], r["late"])
+           for r in spark.read.parquet(out).collect()}
+    assert len(got) == len(b1) + len(b2)
+    assert not any(late for (_, _, late) in got.values())
+
+    from pdfwf_spark.operators.context import assemble_context
+
+    batch = spark.createDataFrame(b1 + b2, TRANSCRIPT_SCHEMA)
+    want = {(r["conv_id"], r["turn_idx"]): r["context"]
+            for r in assemble_context(batch, k=2).collect()}
+    assert {kk: v[0] for kk, v in got.items()} == want
+    # ring carries at most k turns: n_ctx is capped
+    assert got[("a", 4)][1] == 2 and got[("a", 0)][1] == 0
+
+
+def test_streaming_context_late_turn_flagged(spark, tmp_path):
+    """A turn arriving after a newer turn was processed is flagged
+    late and still gets the in-range context the ring can offer."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from pdfwf_spark.streaming.context import start_context_assembly
+
+    src = str(tmp_path / "lsrc")
+    os.makedirs(src)
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+
+    def write_file(name, rows, mtime):
+        staging = str(tmp_path / f"lstage_{name}")
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(staging)
+        part = _glob.glob(staging + "/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        _shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    def turn(conv, i, role, text):
+        return (conv, i, role, text, "", t0 + timedelta(seconds=7 * i))
+
+    now = _time.time()
+    write_file("f1", [turn("a", 0, "user", "t0"), turn("a", 2, "user", "t2")], now)
+    write_file("f2", [turn("a", 1, "user", "t1")], now + 10)  # late
+
+    out = str(tmp_path / "lout")
+    q = start_context_assembly(
+        spark, src, out, str(tmp_path / "lckpt"),
+        k=2, ttl_s=10**6, max_files_per_trigger=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["turn_idx"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["late"] is True
+    assert got[1]["context"] == "user: t0"  # only turns below idx 1
+    assert got[2]["late"] is False and got[2]["context"] == "user: t0"
