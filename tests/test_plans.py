@@ -394,3 +394,41 @@ def test_write_bucketed_guards(spark):
         write_bucketed(docs, "bk_bad", "nope", 4)
     with pytest.raises(ValueError, match="n_buckets"):
         write_bucketed(docs, "bk_bad", "doc_id", 0)
+
+
+def test_assemble_context_chunked_partitions_on_fine_key(spark, transcripts):
+    """Skew contract: every exchange in the chunked path carries the
+    FINE (conv_id, _chunk) key — a mega-conversation never pins one
+    task — and nothing runs in Python."""
+    import re
+
+    from pdfwf_spark.operators.context import assemble_context
+
+    plan = _plan(assemble_context(transcripts, k=3, chunk_size=64))
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all("_chunk" in p for p in parts)
+    assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_merge_upsert_single_key_shuffle_no_join(spark):
+    """CDC merge is union + window: one hash exchange on the key,
+    zero Join nodes."""
+    from pdfwf_spark.operators.diff import merge_upsert
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.withColumn("version", F.lit(1))
+    upd = docs.where(F.col("doc_id") % 50 == 0).withColumn("version", F.lit(2))
+    plan = _plan(merge_upsert(base, upd, "doc_id", "version"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_hll_state_map_side_combine(spark):
+    """The register max combines map-side: partial_max before the
+    exchange, so the shuffle carries <= n_registers rows per task."""
+    from pdfwf_spark.operators.sketch import hll_register_state
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(hll_register_state(docs, "doc_id"))
+    assert "partial_max" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
