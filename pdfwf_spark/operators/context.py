@@ -24,7 +24,7 @@ Scale shapes (10^12 turns, mega-conversations):
   state and the result is row-identical to the unchunked window.
   Exactness precondition: every non-final chunk holds >= k turns
   (guaranteed by dense per-conversation turn_idx, the shape
-  ordering.stable_turn_order emits; `validate=True` asserts it with
+  ordering.with_turn_rank emits; `validate=True` asserts it with
   one cheap (conv, chunk) count aggregate when turn_idx gaps are
   possible).
 - `prompt_response_pairs`: segment id = running count of response
@@ -115,7 +115,7 @@ def assemble_context(
                 "assemble_context(chunk_size=...): a non-final chunk "
                 f"holds fewer than k={k} turns — turn_idx is too "
                 "sparse for chunked assembly; densify with "
-                "ordering.stable_turn_order first or raise chunk_size"
+                "ordering.with_turn_rank first or raise chunk_size"
             )
 
     # last k rows of each chunk, re-tagged into the following chunk
