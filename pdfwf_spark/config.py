@@ -180,6 +180,40 @@ def read_input(spark, path_or_table: str):
 
 
 @dataclass
+class ContextConfig:
+    """Config surface of the context-assembly job
+    (jobs/run_context.py): a transcript turn table in, one of three
+    dataloader-ready shapes out (operators/context.py), with optional
+    conversation-level health floors applied first (curation.py)."""
+
+    input: str
+    output: str
+    mode: str = "context"  # context (rolling k-turn) | pairs | render
+    k: int = 3
+    chunk_size: int | None = None  # skew-safe chunked window path
+    max_chars_per_turn: int | None = None
+    response_role: str = "assistant"
+    min_turns: int = 1  # conversation floors; 1/None = floor off
+    max_violations: int | None = None
+    max_run_len: int | None = None
+    max_tool_milli: int | None = None
+
+    def __post_init__(self) -> None:
+        if not self.input or not self.output:
+            raise ValueError("config requires non-empty 'input' and 'output'")
+        if self.mode not in ("context", "pairs", "render"):
+            raise ValueError(
+                f"mode must be context|pairs|render, got {self.mode!r}"
+            )
+        if self.k < 1 or self.min_turns < 1:
+            raise ValueError("k and min_turns must be >= 1")
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "ContextConfig":
+        return dataclass_from_yaml(cls, path)
+
+
+@dataclass
 class PackConfig:
     """Config surface of the sequence-packing job (jobs/run_pack.py):
     documents table -> per-doc sequence assignment under a fixed token

@@ -329,3 +329,57 @@ def test_curate_yaml_round4_keys(spark, tmp_path):
         "max_tokens": 99,
         "assign_splits": True,
     }
+
+
+def test_context_job_end_to_end(spark, tmp_path):
+    """jobs/run_context.py driven as a subprocess with YAML + a CLI
+    override (mode), floors applied first."""
+    import json
+
+    src = str(tmp_path / "turns.parquet")
+    rows = []
+    for c in range(4):
+        for i in range(6):
+            role = "tool" if (c == 3) else ("user" if i % 2 == 0 else "assistant")
+            rows.append((f"c{c}", i, role, f"text {c} {i}", "",
+                         __import__("datetime").datetime(2025, 1, 1, 0, 0, i)))
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "ctx_out")
+    cfgp = tmp_path / "ctx.yaml"
+    cfgp.write_text(
+        f"input: {src}\noutput: {out}\nmode: context\nk: 2\n"
+        "chunk_size: 4\nmax_tool_milli: 500\n"
+    )
+    env = dict(os.environ, PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_context.py"),
+         "--config", str(cfgp), "--mode", "pairs"],
+        capture_output=True, text=True, env=env, timeout=240,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["mode"] == "pairs" and stats["floors"] is True
+
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"conv_id", "pair_idx", "response_turn_idx",
+                                "prompt", "response"}
+    convs = {r["conv_id"] for r in got.select("conv_id").distinct().collect()}
+    assert convs == {"c0", "c1", "c2"}  # all-tool c3 floored out
+    assert got.count() == 9  # 3 convs x 3 assistant turns
+
+
+def test_context_config_validation():
+    import pytest as _pytest
+
+    from pdfwf_spark.config import ContextConfig
+
+    with _pytest.raises(ValueError, match="mode"):
+        ContextConfig(input="a", output="b", mode="nope")
+    with _pytest.raises(ValueError, match=">= 1"):
+        ContextConfig(input="a", output="b", k=0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        ContextConfig(input="", output="b")
