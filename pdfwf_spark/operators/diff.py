@@ -115,11 +115,11 @@ def merge_upsert(
     if missing:
         raise ValueError(f"update batch lacks base columns: {missing}")
 
-    del_flag = (
-        F.col(delete_col)
-        if delete_col is not None and delete_col in updates.columns
-        else F.lit(False)
-    )
+    if delete_col is not None and delete_col not in updates.columns:
+        raise ValueError(
+            f"delete_col {delete_col!r} absent from the update batch"
+        )
+    del_flag = F.col(delete_col) if delete_col is not None else F.lit(False)
     b = base.select(*out_cols, F.lit(0).alias("_src"), F.lit(False).alias("_del"))
     u = updates.select(
         *out_cols, F.lit(1).alias("_src"), F.coalesce(del_flag, F.lit(False)).alias("_del")

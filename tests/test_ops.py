@@ -1298,6 +1298,8 @@ def test_merge_upsert_ties_and_tombstones(spark):
         merge_upsert(base, ups.drop("ts"), "id", "ts")
     with pytest.raises(ValueError, match="lacks"):
         merge_upsert(base, ups.drop("s"), "id", "ts")
+    with pytest.raises(ValueError, match="delete_col"):
+        merge_upsert(base, ups, "id", "ts", delete_col="typo")
 
 
 def test_profile_key_skew_and_heavy_keys(spark):
