@@ -290,6 +290,17 @@ def _q_conv_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card (sampling.split_manifest): per (split, lang) doc
+    counts and size totals over the deterministic md5 splits."""
+    from pdfwf_spark.operators.sampling import split_manifest
+
+    return split_manifest(
+        _t(spark, sf_dir, "documents"), "doc_id",
+        group_cols=("lang",), size_col="n_chars",
+    )
+
+
 def _q_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable deterministic HLL register state
     (sketch.hll_register_state) for distinct users — the shuffle is
@@ -1747,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats": _q_conv_stats,  # r5: per-conversation health metrics
         "conv_curate": _q_conv_curate,  # r5: conversation-level floors
         "hll_state": _q_hll_state,  # r5: mergeable distinct-count sketch
+        "corpus_manifest": _q_corpus_manifest,  # r5: dataset card
         "skew_profile": _q_skew_profile,  # r5: shuffle-key health report
         "skew_heavy_keys": _q_skew_heavy_keys,  # r5: heaviest keys to salt
         "corpus_quantiles": _q_corpus_quantiles,
@@ -3319,6 +3331,19 @@ def oracle_sql() -> dict[str, str]:
               HAVING SUM(cnt) >= 2
                  AND ((1000 * SUM(tool)) // SUM(cnt)) <= 300)
             SELECT t.* FROM t SEMI JOIN keep USING (conv_id)
+        """,
+        "corpus_manifest": f"""
+            SELECT CASE WHEN b < {_SPLIT_CUTS[0][1]} THEN '{_SPLIT_CUTS[0][0]}'
+                        WHEN b < {_SPLIT_CUTS[1][1]} THEN '{_SPLIT_CUTS[1][0]}'
+                        ELSE '{_SPLIT_CUTS[2][0]}' END AS split,
+                   lang,
+                   COUNT(*) AS n_docs,
+                   SUM(n_chars)::BIGINT AS total_size,
+                   ((1000 * SUM(n_chars)) // COUNT(*))::BIGINT AS avg_size_milli
+            FROM (SELECT lang, n_chars,
+                         ('0x' || substr(md5('split#' || doc_id::VARCHAR), 1, 8))::BIGINT AS b
+                  FROM documents)
+            GROUP BY split, lang
         """,
         "hll_state": """
             WITH h AS (

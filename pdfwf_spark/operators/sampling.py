@@ -84,6 +84,32 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def split_manifest(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    size_col: str | None = None,
+    weights: Mapping[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Dataset card: one row per (split, *group_cols) with n_docs,
+    total/avg size — the summary a training run records next to its
+    manifest. Composition of split_assign (zero-shuffle labels) + one
+    map-side-combined aggregate; avg is integer milli (no float
+    drift). `size_col=None` counts rows only."""
+    labeled = split_assign(df, key_col, weights, salt)
+    keys = ["split", *group_cols]
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if size_col is not None:
+        aggs += [
+            F.sum(size_col).cast("long").alias("total_size"),
+            F.expr(f"CAST((1000 * sum({size_col})) DIV count(1) AS BIGINT)").alias(
+                "avg_size_milli"
+            ),
+        ]
+    return labeled.groupBy(*keys).agg(*aggs)
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -253,3 +253,25 @@ def test_materialize_sequences_order_and_conservation(spark):
             if (p["bucket"], p["seq_idx"]) == key
         )
         assert r["n_tokens"] == want
+
+
+def test_split_manifest(spark):
+    from pdfwf_spark.operators.sampling import split_assign, split_manifest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    man = split_manifest(docs, "doc_id", group_cols=("lang",), size_col="n_chars")
+    rows = man.collect()
+    assert set(man.columns) == {"split", "lang", "n_docs", "total_size", "avg_size_milli"}
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # cross-check one cell against the labeled table directly
+    labeled = split_assign(docs, "doc_id")
+    r0 = rows[0]
+    sub = labeled.filter((F.col("split") == r0["split"]) & (F.col("lang") == r0["lang"]))
+    assert sub.count() == r0["n_docs"]
+    total = sub.agg(F.sum("n_chars")).collect()[0][0]
+    assert total == r0["total_size"]
+    assert r0["avg_size_milli"] == (1000 * total) // r0["n_docs"]
+
+    # size_col=None: counts only
+    slim = split_manifest(docs, "doc_id")
+    assert set(slim.columns) == {"split", "n_docs"}
