@@ -311,6 +311,17 @@ def _q_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_register_state(_t(spark, sf_dir, "events"), "user_id", n_registers=64)
 
 
+def _q_hll_state_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL register state (distinct users per event_type) —
+    shuffle stays n_registers rows per (map task, group)."""
+    from pdfwf_spark.operators.sketch import hll_register_state
+
+    return hll_register_state(
+        _t(spark, sf_dir, "events"), "user_id",
+        n_registers=64, group_cols=("event_type",),
+    )
+
+
 def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key health report (partitioning.profile_key_skew) for
     events.user_id — the decision data behind salted_repartition."""
@@ -1759,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_curate": _q_conv_curate,  # r5: conversation-level floors
         "hll_state": _q_hll_state,  # r5: mergeable distinct-count sketch
         "corpus_manifest": _q_corpus_manifest,  # r5: dataset card
+        "hll_state_grouped": _q_hll_state_grouped,  # r5: per-group HLL
         "skew_profile": _q_skew_profile,  # r5: shuffle-key health report
         "skew_heavy_keys": _q_skew_heavy_keys,  # r5: heaviest keys to salt
         "corpus_quantiles": _q_corpus_quantiles,
@@ -3344,6 +3356,16 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5('split#' || doc_id::VARCHAR), 1, 8))::BIGINT AS b
                   FROM documents)
             GROUP BY split, lang
+        """,
+        "hll_state_grouped": """
+            WITH h AS (
+              SELECT event_type,
+                     ('0x' || substr(md5('hll#' || user_id::VARCHAR), 1, 15))::BIGINT AS u
+              FROM events),
+            r AS (SELECT event_type, (u % 64)::INT AS register, u // 64 AS w FROM h)
+            SELECT event_type, register,
+                   MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END)::INT AS max_rho
+            FROM r GROUP BY event_type, register
         """,
         "hll_state": """
             WITH h AS (

@@ -463,6 +463,7 @@ def hll_register_state(
     key_col: str,
     n_registers: int = 64,
     salt: str = "hll",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic HyperLogLog REGISTER STATE for the distinct count
     of `key_col`: (register, max_rho) with one row per non-empty
@@ -477,6 +478,10 @@ def hll_register_state(
     row count. Derive the scalar estimate driver-side with
     hll_estimate() (the float harmonic mean lives OUTSIDE the
     relational plan on n_registers rows).
+
+    group_cols: per-group sketches (distinct users per day/domain/
+    split — the everyday shape). Output gains the group columns;
+    shuffle is n_registers rows per (map task, group).
     """
     if n_registers < 2 or n_registers & (n_registers - 1):
         raise ValueError(f"n_registers must be a power of two >= 2, got {n_registers}")
@@ -487,6 +492,7 @@ def hll_register_state(
         16, 10,
     ).cast("long")
     tagged = df.select(
+        *[F.col(c) for c in group_cols],
         F.pmod(u, F.lit(n_registers)).cast("int").alias("register"),
         F.floor(u / F.lit(n_registers)).cast("long").alias("_w"),
     )
@@ -495,7 +501,7 @@ def hll_register_state(
     rho = F.when(F.col("_w") == 0, F.lit(w_bits + 1)).otherwise(
         F.lit(w_bits + 1) - F.length(F.conv(F.col("_w").cast("string"), 10, 2))
     )
-    return tagged.groupBy("register").agg(
+    return tagged.groupBy(*group_cols, "register").agg(
         F.max(rho).cast("int").alias("max_rho")
     )
 

@@ -246,3 +246,22 @@ def test_hll_guard(spark):
     df = spark.range(5).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="power of two"):
         hll_register_state(df, "k", n_registers=48)
+
+
+def test_hll_state_grouped_matches_per_group(spark):
+    from pdfwf_spark.operators.sketch import hll_register_state
+
+    df = spark.range(900).select(
+        (F.col("id") % 3).cast("string").alias("g"), (F.col("id") % 250).alias("k")
+    )
+    grouped = hll_register_state(df, "k", group_cols=("g",))
+    for g in ("0", "1", "2"):
+        solo = {
+            (r["register"], r["max_rho"])
+            for r in hll_register_state(df.filter(F.col("g") == g), "k").collect()
+        }
+        sub = {
+            (r["register"], r["max_rho"])
+            for r in grouped.filter(F.col("g") == g).drop("g").collect()
+        }
+        assert sub == solo
