@@ -91,6 +91,34 @@ def test_chunked_equals_unchunked(spark, turns, chunk_size):
     assert chunked == plain
 
 
+@pytest.mark.parametrize("seed,k,chunk_size", [
+    (1, 1, 1), (2, 2, 2), (3, 2, 5), (4, 3, 3), (5, 4, 7), (6, 5, 64),
+])
+def test_chunked_equals_unchunked_randomized(spark, seed, k, chunk_size):
+    """Seeded random conversation shapes (varying lengths, many convs,
+    dense turn_idx) — the chunk-overlap rewrite must be row-identical
+    to the global window for any (k, chunk_size >= k)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for c in range(12):
+        n = rng.randint(1, 40)
+        for i in range(n):
+            rows.append((
+                f"c{c:03d}", i, rng.choice(["user", "assistant", "tool"]),
+                f"m{rng.randint(0, 9)}", "", T0 + timedelta(seconds=i),
+            ))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    plain = {(r["conv_id"], r["turn_idx"]): r["context"]
+             for r in assemble_context(df, k=k).collect()}
+    chunked = {(r["conv_id"], r["turn_idx"]): r["context"]
+               for r in assemble_context(df, k=k, chunk_size=chunk_size).collect()}
+    assert chunked == plain
+
+
 def test_chunked_schema_matches_plain(spark, turns):
     plain = assemble_context(turns, k=2)
     chunked = assemble_context(turns, k=2, chunk_size=4)
