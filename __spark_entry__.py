@@ -1705,7 +1705,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_merge": _q_table_merge,  # r5: CDC latest-wins upsert
         "p2_limit": _q_p2_limit,
         "p3_readability_filter": _q_p3_readability_filter,
-        "f1_doi_extract": _q_f1_doi_extract,
         "p6_meta_projection": _q_p6_meta_projection,
         "f7_markdown_compat": _q_f7_markdown_compat,
         "a1_group_concat": _q_a1_group_concat,
@@ -1720,18 +1719,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_stem_pair_join": _q_j3_stem_pair_join,
         "ctx_assemble": _q_ctx_assemble,  # r5: chunked rolling context windows
         "ctx_pairs": _q_ctx_pairs,  # r5: (prompt, response) pair extraction
+        "conv_segment_pairs": _q_conv_segment_pairs,  # r5: dialogue borrowing
+        "conv_stats": _q_conv_stats,  # r5: per-conversation health metrics
+        "skew_profile": _q_skew_profile,  # r5: shuffle-key health report
+        "hll_state": _q_hll_state,  # r5: mergeable distinct-count sketch
         # -- flagship extraction + multimodal parity
         "extract_pipeline": _q_extract_pipeline,
         "extract_plain_parity": _q_extract_plain_parity,
         "extract_html_parity": _q_extract_html_parity,
         "extract_pdfish_parity": _q_extract_pdfish_parity,
         "mm_media_meta": _q_mm_media_meta,
-        "mm_media_real": _q_mm_media_real,
         "mm_media_png": _q_mm_media_png,  # r5: PNG IHDR codec
         # -- dedup family (one representative per algorithm)
         "dedup_exact": _q_dedup_exact,
         "simhash_band_pairs": _q_simhash_band_pairs,
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_lsh_verified": _q_dedup_lsh_verified,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_str": _q_dedup_clusters_str,  # r5: string-id surrogates
@@ -1743,7 +1744,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "grouped_quantiles": _q_grouped_quantiles,  # r5: per-group quantiles
         "text_heavy_hitters": _q_text_heavy_hitters,  # r5: Misra-Gries 2-pass
-        "web_domain_counts": _q_web_domain_counts,
         "web_url_canon": _q_web_url_canon,  # r5: canonical-URL dedup key
         "web_boilerplate_strip": _q_web_boilerplate_strip,  # r5: CCNet-style lines
         # -- embedding similarity
@@ -1759,19 +1759,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash_sig/simhash are signature intermediates of the
         # in-window lsh_verified/band_pairs queries.)
         "dedup_minhash_sig": _q_dedup_minhash_sig,
+        "f1_doi_extract": _q_f1_doi_extract,  # f7 is the in-window function rep
+        "mm_media_real": _q_mm_media_real,  # meta+png are the in-window media reps
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,  # lsh_verified composes it
+        "web_domain_counts": _q_web_domain_counts,  # url_canon is the histogram rep
         "dedup_simhash": _q_dedup_simhash,
         "text_clf_score": _q_text_clf_score,  # text_quality is the in-window rep
         "conv_render": _q_conv_render,  # r5: whole-conversation render
         "conv_alternation": _q_conv_alternation,  # r5: role-alternation QA
         "conv_collapse_repeats": _q_conv_collapse_repeats,  # r5: retry-storm collapse
         "conv_tool_loops": _q_conv_tool_loops,  # r5: islands loop detection
-        "conv_segment_pairs": _q_conv_segment_pairs,  # r5: dialogue borrowing
-        "conv_stats": _q_conv_stats,  # r5: per-conversation health metrics
         "conv_curate": _q_conv_curate,  # r5: conversation-level floors
-        "hll_state": _q_hll_state,  # r5: mergeable distinct-count sketch
         "corpus_manifest": _q_corpus_manifest,  # r5: dataset card
         "hll_state_grouped": _q_hll_state_grouped,  # r5: per-group HLL
-        "skew_profile": _q_skew_profile,  # r5: shuffle-key health report
         "skew_heavy_keys": _q_skew_heavy_keys,  # r5: heaviest keys to salt
         "corpus_quantiles": _q_corpus_quantiles,
         "f2_blank_collapse": _q_f2_blank_collapse,
