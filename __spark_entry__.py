@@ -1473,6 +1473,32 @@ def _q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def _q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pairs (similarity.semdedup_pairs):
+    k-means cells (integer Lloyd's, bit-stable) bound the pairwise
+    cosine to WITHIN-cell self-joins. Oracled end-to-end — the DuckDB
+    twin unrolls the 3 Lloyd's iterations as CTEs, reassigns cells,
+    and replays the within-cell quantized-cosine pair scan.
+    max_cell=None here so the oracle is exact at every SF; the
+    hot-cell guard is pinned separately in pytest."""
+    from pdfwf_spark.operators.similarity import semdedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_pairs(emb, k=8, iters=3, threshold_milli=350, max_cell=None)
+
+
+def _q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup greedy keeper view (similarity.semdedup_prune): every
+    vector that appears as the greater id of an above-threshold
+    within-cell pair is dropped; the corpus anti-joins the (small)
+    loser list broadcast-side, so corpus rows are never shuffled."""
+    from pdfwf_spark.operators.similarity import semdedup_pairs, semdedup_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = semdedup_pairs(emb, k=8, iters=3, threshold_milli=350, max_cell=None)
+    return semdedup_prune(emb, pairs).select("vec_id", "label")
+
+
 def _q_stream_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window stats (streaming/windows.py) run on
     its batch twin path (the watermark is a no-op on batch input —
@@ -1814,6 +1840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_mm_frame_sample,
         "pack_materialize": _q_pack_materialize,
         "emb_ivf_kmeans_topk": _q_emb_ivf_kmeans_topk,  # oracled: unrolled-CTE chain
+        "semdedup_pairs": _q_semdedup_pairs,  # oracled: unrolled kmeans + cell pairs
+        "semdedup_prune": _q_semdedup_prune,
     }
 
 
@@ -1997,6 +2025,63 @@ def _ivf_kmeans_oracle_sql(
           FROM scored) t WHERE rnk <= {topk}
         """
     )
+
+
+def _semdedup_ctes(k: int = 8, iters: int = 3, thr: int = 350) -> list:
+    """CTE chain for similarity.semdedup_pairs: the unrolled-Lloyd's
+    chain (ending in `fin`, every vector's integer L2 to the refined
+    centroids) + argmin cell assignment + within-cell quantized-cosine
+    pairs at >= thr milli — the same vn/round idiom the other
+    embedding oracles pin (::DOUBLE[] before any multiply; ROUND is
+    half-away-from-zero in both engines)."""
+    ctes = _kmeans_ctes(k, iters)
+    ctes += [
+        """cells AS (
+          SELECT vec_id, cl AS cell FROM (
+            SELECT vec_id, cl,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cl) AS rn
+            FROM fin) t WHERE rn = 1)""",
+        """vn AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec,
+                 sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x))) AS nrm
+          FROM embeddings)""",
+        f"""sd_pairs AS (
+          SELECT a.vec_id AS l_id, b.vec_id AS r_id,
+                 a.cell::INT AS cell,
+                 CAST(ROUND(1000 * list_sum(list_transform(
+                        range(1, len(lv.vec) + 1),
+                        j -> lv.vec[j] * rv.vec[j])) / (lv.nrm * rv.nrm))
+                      AS INT) AS cos_milli
+          FROM cells a
+          JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          JOIN vn lv ON lv.vec_id = a.vec_id
+          JOIN vn rv ON rv.vec_id = b.vec_id
+          WHERE CAST(ROUND(1000 * list_sum(list_transform(
+                  range(1, len(lv.vec) + 1),
+                  j -> lv.vec[j] * rv.vec[j])) / (lv.nrm * rv.nrm))
+                AS INT) >= {thr})""",
+    ]
+    return ctes
+
+
+def _semdedup_pairs_oracle_sql(k: int = 8, iters: int = 3, thr: int = 350) -> str:
+    return (
+        "WITH " + ",\n".join(_semdedup_ctes(k, iters, thr))
+        + "\nSELECT l_id, r_id, cell, cos_milli FROM sd_pairs"
+    )
+
+
+def _semdedup_prune_oracle_sql(k: int = 8, iters: int = 3, thr: int = 350) -> str:
+    return (
+        "WITH " + ",\n".join(_semdedup_ctes(k, iters, thr))
+        + """
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT r_id FROM sd_pairs)
+        """
+    )
+
 
 # mojibake oracle: the same ordered literal replace chain over
 # text + a sample containing every MOJIBAKE_MAP artifact once
@@ -3565,6 +3650,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(
             k_cents=8, iters=2, n_probe=3, topk=5, q_cut=8
         ),
+        # SemDeDup: the unrolled-Lloyd's chain + cell-local pair scan
+        "semdedup_pairs": _semdedup_pairs_oracle_sql(k=8, iters=3, thr=350),
+        "semdedup_prune": _semdedup_prune_oracle_sql(k=8, iters=3, thr=350),
         "emb_ivf_topk": """
             WITH v AS (
               SELECT vec_id, embedding::DOUBLE[] AS vec,

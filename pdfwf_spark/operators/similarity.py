@@ -624,3 +624,86 @@ def ivf_topk_kmeans(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos_milli")
     )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold_milli: int = 950,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = DEFAULT_MAX_BUCKET,
+    assign: str = "literal",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: pairwise cosine
+    is evaluated only WITHIN a k-means cell (Abbas et al. 2023's
+    cluster-then-compare recipe), turning the O(n^2) all-pairs scan
+    into k cell-local self-joins of expected size (n/k)^2. The fit is
+    the integer Lloyd's kmeans_cluster (bit-stable under any
+    partitioning), so the cells — and therefore the emitted pairs —
+    are deterministic and a DuckDB oracle reproduces them by unrolling
+    the iterations as CTEs.
+
+    Scale shape: one (cluster, dim)-partial shuffle per Lloyd's iter,
+    then ONE equi-self-join keyed on the cell id. At 100 TB, k must
+    grow with the corpus (SemDeDup used k ~ sqrt(n); cells ~ n/k rows
+    each) and `max_cell` bounds any skewed mega-cell via the same
+    windowed guard every banded join in dedup.py uses (drop mode —
+    a dropped cell loses only its own intra-cell pairs).
+
+    Returns (l_id, r_id, cell, cos_milli) with l_id < r_id and
+    cos_milli >= threshold_milli. Compose with semdedup_prune for the
+    keeper view. Reference analog: pdfwf dedups at whole-file
+    granularity only (checkpointed path sets, convert.py:249-257);
+    semantic near-dup is beyond-parity.
+    """
+    assigned, _ = kmeans_cluster(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, assign=assign
+    )
+    v = with_unit_norm(emb, vec_col).select(
+        F.col(id_col).alias("id"), "_vec", "_norm"
+    )
+    cells = assigned.select(
+        F.col(id_col).alias("id"), F.col("cluster").alias("cell")
+    ).join(v, "id")
+    cells = cap_hot_groups(cells, ["cell"], max_cell)
+    l = cells.select(
+        F.col("id").alias("l_id"), "cell",
+        F.col("_vec").alias("_lv"), F.col("_norm").alias("_ln"),
+    )
+    r = cells.select(
+        F.col("id").alias("r_id"), "cell",
+        F.col("_vec").alias("_rv"), F.col("_norm").alias("_rn"),
+    )
+    return (
+        l.join(r, ["cell"])
+        .filter(F.col("l_id") < F.col("r_id"))
+        .withColumn(
+            "cos_milli",
+            F.round(
+                1000 * _dot(F.col("_lv"), F.col("_rv"))
+                / (F.col("_ln") * F.col("_rn"))
+            ).cast("int"),
+        )
+        .filter(F.col("cos_milli") >= threshold_milli)
+        .select("l_id", "r_id", "cell", "cos_milli")
+    )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy SemDeDup keeper rule: drop every vector that appears as
+    the GREATER id of any above-threshold pair — i.e. within each
+    semantic dup set the lowest id survives (plus any row whose only
+    links run through an already-dropped row: greedy, not transitive
+    closure — the standard SemDeDup prune, cheaper than connected
+    components and deterministic). One distinct on the (small) pair
+    list, broadcast anti-join against the corpus; the corpus itself
+    is never shuffled.
+    """
+    losers = pairs.select(F.col("r_id").alias(id_col)).distinct()
+    return emb.join(F.broadcast(losers), id_col, "left_anti")

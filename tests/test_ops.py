@@ -1430,3 +1430,95 @@ def test_strip_boilerplate_cap_keeps_most_shared(spark):
 
     with _pytest.raises(ValueError, match="min_df"):
         strip_boilerplate_lines(df, min_df=1)
+
+
+def test_semdedup_pairs_within_cells_only(spark):
+    """semdedup_pairs must emit exactly the above-threshold cosine
+    pairs whose two vectors share a k-means cell — verified against a
+    brute-force recomputation over the operator's own assignment."""
+    import numpy as np
+
+    from pdfwf_spark.operators.similarity import (
+        kmeans_cluster, semdedup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(8, 6).astype("float32")
+    # 40 vectors in 8 tight clumps -> plenty of high-cosine pairs that
+    # land in the same Lloyd's cell
+    vecs = np.vstack([
+        base[i % 8] + 0.01 * rng.randn(6).astype("float32") for i in range(40)
+    ]).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)
+
+    thr = 900
+    got = {
+        (r["l_id"], r["r_id"], r["cell"], r["cos_milli"])
+        for r in semdedup_pairs(
+            emb, k=8, iters=2, threshold_milli=thr, max_cell=None
+        ).collect()
+    }
+    assert got, "clumped fixture must produce within-cell near-dups"
+
+    a_df, _ = kmeans_cluster(emb, k=8, iters=2)
+    cell = {r["vec_id"]: r["cluster"] for r in a_df.collect()}
+    v = vecs.astype("float64")
+    nrm = np.sqrt((v * v).sum(axis=1))
+    want = set()
+    for i in range(40):
+        for j in range(i + 1, 40):
+            if cell[i] != cell[j]:
+                continue
+            cm = int(np.round(1000 * float(v[i] @ v[j]) / (nrm[i] * nrm[j])))
+            if cm >= thr:
+                want.add((i, j, cell[i], cm))
+    assert got == want
+
+
+def test_semdedup_prune_greedy_keeps_lowest_id(spark):
+    """The greedy rule: any id on the GREATER side of a pair is
+    dropped; lowest id of each dup set always survives."""
+    from pdfwf_spark.operators.similarity import semdedup_prune
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3, 0, 999), (3, 4, 0, 999), (1, 5, 2, 950)],
+        "l_id long, r_id long, cell int, cos_milli int",
+    )
+    kept = sorted(r["vec_id"] for r in semdedup_prune(emb, pairs).collect())
+    # 3, 4, 5 appear as r_id -> dropped; 0, 1, 2 survive
+    assert kept == [0, 1, 2]
+
+
+def test_semdedup_hot_cell_cap_bounds_pairs(spark):
+    """max_cell engages dedup.cap_hot_groups: a cell over the cap
+    contributes NO pairs (drop mode), cells under it are untouched."""
+    import numpy as np
+
+    from pdfwf_spark.operators.similarity import semdedup_pairs
+
+    rng = np.random.RandomState(5)
+    a = rng.randn(6).astype("float64")
+    b = -a
+    # ids 0..29 clump around a (hot cell), 30..33 clump around b
+    vecs = [a + 0.01 * rng.randn(6) for _ in range(30)]
+    vecs += [b + 0.01 * rng.randn(6) for _ in range(4)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(34)],
+        "vec_id long, embedding array<float>",
+    )
+    capped = semdedup_pairs(emb, k=2, iters=2, threshold_milli=900, max_cell=10)
+    uncapped = semdedup_pairs(
+        emb, k=2, iters=2, threshold_milli=900, max_cell=None
+    )
+    got = {(r["l_id"], r["r_id"]) for r in capped.collect()}
+    full = {(r["l_id"], r["r_id"]) for r in uncapped.collect()}
+    small_cell = {(l, r) for l, r in full if l >= 30 and r >= 30}
+    assert small_cell, "small clump must have pairs"
+    assert got == small_cell  # hot cell dropped, small cell intact

@@ -432,3 +432,22 @@ def test_hll_state_map_side_combine(spark):
     plan = _plan(hll_register_state(docs, "doc_id"))
     assert "partial_max" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semdedup_cell_equi_join_prune_broadcast_anti(spark):
+    """semdedup_pairs' candidate scan must be an EQUI-self-join on the
+    cell id (never a cartesian/nested-loop over the corpus), and
+    semdedup_prune must anti-join the loser list BROADCAST-side so the
+    corpus is never shuffled by the prune."""
+    from pdfwf_spark.operators.similarity import (
+        semdedup_pairs, semdedup_prune,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = semdedup_pairs(emb, k=4, iters=1, threshold_milli=350)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    prune_plan = _plan(semdedup_prune(emb, pairs))
+    assert "BroadcastHashJoin" in prune_plan and "LeftAnti" in prune_plan
