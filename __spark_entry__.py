@@ -1499,6 +1499,30 @@ def _q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(emb, pairs).select("vec_id", "label")
 
 
+def _q_dsir_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-ngram log-likelihood-ratio table (selection.dsir_fit,
+    Xie et al. 2023): target = lang='en' documents, raw = the whole
+    corpus; 2048 md5 buckets over unigrams+bigrams; log = Mitchell's
+    fixed-point log2 in milli-bits, so the DuckDB twin (same bucket
+    hash, same bit-length + interpolation arithmetic) is bit-exact."""
+    from pdfwf_spark.operators.selection import dsir_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_fit(docs.filter(F.col("lang") == "en"), docs, n_buckets=2048)
+
+
+def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance scores (selection.dsir_scores):
+    explode_outer the hashed grams (empty docs survive with score 0),
+    broadcast-join the dense 2048-row ratio table, ONE groupBy on
+    doc_id. The oracle replays the fit CTEs and the scoring join."""
+    from pdfwf_spark.operators.selection import dsir_fit, dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    lr = dsir_fit(docs.filter(F.col("lang") == "en"), docs, n_buckets=2048)
+    return dsir_scores(docs, lr, n_buckets=2048)
+
+
 def _q_stream_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window stats (streaming/windows.py) run on
     its batch twin path (the watermark is a no-op on batch input —
@@ -1842,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_kmeans_topk": _q_emb_ivf_kmeans_topk,  # oracled: unrolled-CTE chain
         "semdedup_pairs": _q_semdedup_pairs,  # oracled: unrolled kmeans + cell pairs
         "semdedup_prune": _q_semdedup_prune,
+        "dsir_ratio": _q_dsir_ratio,  # oracled: Mitchell fixed-point log2
+        "dsir_scores": _q_dsir_scores,
     }
 
 
@@ -2081,6 +2107,57 @@ def _semdedup_prune_oracle_sql(k: int = 8, iters: int = 3, thr: int = 350) -> st
         WHERE vec_id NOT IN (SELECT r_id FROM sd_pairs)
         """
     )
+
+
+def _mit_sql(x: str) -> str:
+    """DuckDB twin of selection.mitchell_log2_milli over the integer
+    SQL expression `x` (>= 1): 1000*(bitlen-1) + one interpolation
+    step — bit length via length(bin(..)), the power of two via
+    2**(bitlen-1), multiply-then-divide in the identical order the
+    Spark column evaluates so the IEEE roundings coincide."""
+    p = f"CAST(2 ** (length(bin({x})) - 1) AS BIGINT)"
+    return (
+        f"(1000 * (length(bin({x})) - 1) "
+        f"+ CAST(ROUND(1000.0 * (({x}) - {p}) / {p}) AS BIGINT))"
+    )
+
+
+def _dsir_ctes(buckets: int = 2048) -> str:
+    """Shared CTE body for the DSIR oracles: tokenize (the pinned
+    whitespace-split idiom), unigrams+bigrams, md5 bucket ids (the
+    sampling oracles' '0x'||substr(md5..) idiom), per-corpus bucket
+    counts (target = lang='en', raw = all), and the dense add-1
+    smoothed Mitchell-milli log-ratio table over a range() spine."""
+    return f"""
+        toks AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id, lang,
+                 t || list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1]) AS gs
+          FROM toks),
+        grams AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5('dsir#' || g), 1, 8))::BIGINT % {buckets}
+                   AS bucket
+          FROM (SELECT doc_id, lang, unnest(gs) AS g FROM feats)),
+        tc AS (SELECT bucket, COUNT(*) AS c FROM grams WHERE lang = 'en'
+               GROUP BY bucket),
+        rc AS (SELECT bucket, COUNT(*) AS c FROM grams GROUP BY bucket),
+        tt AS (SELECT COALESCE(SUM(c), 0)::BIGINT + {buckets} AS v FROM tc),
+        rt AS (SELECT COALESCE(SUM(c), 0)::BIGINT + {buckets} AS v FROM rc),
+        lr AS (
+          SELECT b.bucket,
+                 ({_mit_sql('COALESCE(tc.c, 0) + 1')}
+                  - {_mit_sql('(SELECT v FROM tt)')}
+                  - {_mit_sql('COALESCE(rc.c, 0) + 1')}
+                  + {_mit_sql('(SELECT v FROM rt)')})::BIGINT AS lr_milli
+          FROM range(0, {buckets}) AS b(bucket)
+          LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket))
+    """
 
 
 # mojibake oracle: the same ordered literal replace chain over
@@ -3653,6 +3730,18 @@ def oracle_sql() -> dict[str, str]:
         # SemDeDup: the unrolled-Lloyd's chain + cell-local pair scan
         "semdedup_pairs": _semdedup_pairs_oracle_sql(k=8, iters=3, thr=350),
         "semdedup_prune": _semdedup_prune_oracle_sql(k=8, iters=3, thr=350),
+        # DSIR: hashed-ngram models + Mitchell fixed-point log-ratio
+        "dsir_ratio": f"WITH {_dsir_ctes(2048)} SELECT bucket, lr_milli FROM lr",
+        "dsir_scores": f"""
+            WITH {_dsir_ctes(2048)}
+            SELECT d.doc_id,
+                   COALESCE(s.n, 0)::BIGINT AS n_grams,
+                   COALESCE(s.sm, 0)::BIGINT AS dsir_milli
+            FROM documents d LEFT JOIN (
+              SELECT doc_id, COUNT(*) AS n, SUM(lr_milli) AS sm
+              FROM grams JOIN lr USING (bucket) GROUP BY doc_id) s
+            USING (doc_id)
+        """,
         "emb_ivf_topk": """
             WITH v AS (
               SELECT vec_id, embedding::DOUBLE[] AS vec,

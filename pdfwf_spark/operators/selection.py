@@ -1,0 +1,200 @@
+"""DSIR-style data selection: hashed n-gram importance weights.
+
+The shape of Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling" (DSIR): fit bag-of-hashed-ngram (unigram +
+bigram) counts on a small TARGET corpus and on the RAW pool, then
+score every raw document with the log-likelihood ratio of the two
+hashed models — high scorers "look like" the target, and a threshold
+or weighted resample selects them. The corpus-size-dependent work is
+embarrassingly parallel: each fit pass is one aggregation whose
+shuffle is bounded at `n_buckets` rows per map task (map-side
+combine over a fixed key space, the same bound hll_register_state
+exploits), and the scoring pass is a pure projection plus one
+broadcast join against the (tiny, dense, n_buckets-row) ratio table
+and ONE groupBy on the doc id. Nothing collects to the driver;
+nothing is quadratic; the recipe holds at 100 TB unchanged.
+
+Determinism contract (the repo-wide rule: no cross-engine float
+drift in oracled outputs): the log is NOT libm log — it is
+Mitchell's piecewise-linear fixed-point log2 approximation
+(bit-length via base-2 string length, integer-exact on both engines,
+then ONE interpolation step whose multiply and divide are
+correctly-rounded IEEE double ops evaluated in the identical order on
+both engines), in milli-bits. Max error vs true log2 is ~0.086 bits
+(the classic Mitchell bound) — irrelevant for selection, which only
+consumes the ordering/threshold, and it buys bit-exact DuckDB
+oracles, which libm log cannot guarantee (JVM Math.log is only
+1-ulp-accurate, not correctly rounded).
+
+Reference analog: pdfwf has no data-selection stage (it extracts and
+converts only — convert.py drives parsers, nothing ranks documents);
+this module is part of the beyond-parity LLM-training-data toolkit,
+the learned-weights sibling of textstats.with_hashed_classifier_score
+(whose weights are synthetic md5 draws; DSIR's are FIT from two
+corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdfwf_spark.operators.dedup import tokens, word_ngrams
+
+#: DSIR's paper uses 10k hashed buckets; a power of two keeps the
+#: dense ratio table broadcast-trivial at any corpus size.
+DEFAULT_BUCKETS = 8192
+
+
+def mitchell_log2_milli(v: Column) -> Column:
+    """round(1000 * ~log2(v)) for an integer column v >= 1, via
+    Mitchell's approximation: 1000*(bitlen-1) linear-interpolated by
+    the fractional offset above the floor power of two. Bit length is
+    the base-2 string length (`conv(v,10,2)` here, `length(bin(v))`
+    in DuckDB — integer-exact both sides); 2^(bitlen-1) is exact as a
+    double for any representable long; the single multiply/divide is
+    correctly-rounded IEEE evaluated in the same order both sides, so
+    the milli value is bit-identical across engines. v <= 0 -> null
+    (callers smooth with +1 first).
+    """
+    bl = F.length(F.conv(v.cast("string"), 10, 2))
+    p = F.pow(F.lit(2.0), (bl - 1).cast("double")).cast("long")
+    frac = F.round(F.lit(1000.0) * (v - p) / p).cast("long")
+    return F.when(v >= 1, F.lit(1000) * (bl - 1).cast("long") + frac)
+
+
+def hashed_ngram_buckets(
+    text_col: Column,
+    n_buckets: int = DEFAULT_BUCKETS,
+    salt: str = "dsir",
+) -> Column:
+    """array<long>: the md5 hash bucket of every unigram AND bigram of
+    the whitespace-tokenized lowercased text, WITH multiplicity — the
+    DSIR feature extractor. Pure projection (whole-stage codegen,
+    scan-side at any scale); the md5-first-8-hex-chars -> [0, 2^32)
+    idiom is the same one sampling._hash_bucket pins, so DuckDB
+    reproduces bucket ids exactly.
+    """
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    grams = F.concat(toks, word_ngrams(toks, 2))
+    return F.transform(
+        grams,
+        lambda g: F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "#"), g)), 1, 8), 16, 10
+        ).cast("long")
+        % n_buckets,
+    )
+
+
+def ngram_bucket_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    salt: str = "dsir",
+) -> DataFrame:
+    """(bucket, cnt): the hashed-ngram model "fit" over a corpus —
+    explode the per-doc feature array, ONE count aggregate. Map-side
+    combine bounds the shuffle at n_buckets rows per map task no
+    matter how many documents feed it.
+    """
+    b = hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
+    return (
+        docs.select(F.explode(b).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_ratio(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(bucket, lr_milli) DENSE over buckets 0..n_buckets-1: the
+    add-1-smoothed log-likelihood ratio of the two hashed models in
+    Mitchell milli-bits,
+
+        lr = log2(t_cnt+1) - log2(t_tot+B) - log2(r_cnt+1) + log2(r_tot+B)
+
+    Dense (a spark.range spine left-joined with both count tables) so
+    the scoring join needs no unseen-bucket special case. All four
+    inputs here are <= n_buckets rows + two 1-row totals — every join
+    is a broadcast; this never shuffles anything corpus-sized.
+    """
+    spark = target_counts.sparkSession
+    dense = spark.range(0, n_buckets).select(F.col("id").alias("bucket"))
+    t_tot = target_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("_t_tot")
+    )
+    r_tot = raw_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("_r_tot")
+    )
+    j = (
+        dense.join(
+            F.broadcast(target_counts.select("bucket", F.col("cnt").alias("_t"))),
+            "bucket",
+            "left",
+        )
+        .join(
+            F.broadcast(raw_counts.select("bucket", F.col("cnt").alias("_r"))),
+            "bucket",
+            "left",
+        )
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+    )
+    t = F.coalesce(F.col("_t"), F.lit(0)).cast("long") + 1
+    r = F.coalesce(F.col("_r"), F.lit(0)).cast("long") + 1
+    lr = (
+        mitchell_log2_milli(t)
+        - mitchell_log2_milli(F.col("_t_tot") + n_buckets)
+        - mitchell_log2_milli(r)
+        + mitchell_log2_milli(F.col("_r_tot") + n_buckets)
+    )
+    return j.select("bucket", lr.cast("long").alias("lr_milli"))
+
+
+def dsir_fit(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Convenience: fit both hashed models and return the dense
+    (bucket, lr_milli) ratio table in one call."""
+    return dsir_log_ratio(
+        ngram_bucket_counts(target_docs, text_col, n_buckets, salt),
+        ngram_bucket_counts(raw_docs, text_col, n_buckets, salt),
+        n_buckets,
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    log_ratio: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    salt: str = "dsir",
+) -> DataFrame:
+    """(id_col, n_grams, dsir_milli): each document's importance score
+    = sum of lr_milli over its hashed unigrams+bigrams (the document
+    log-likelihood ratio under the two models, in milli-bits), plus
+    the gram count so callers can length-normalize before
+    thresholding. Shape: explode_outer (keeps empty docs, score 0) ->
+    broadcast join against the dense ratio table -> ONE groupBy on
+    the doc id. Compose with sampling.split_assign / cap_per_group or
+    a plain threshold filter for the actual resample.
+    """
+    g = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
+        ).alias("bucket"),
+    )
+    j = g.join(F.broadcast(log_ratio), "bucket", "left")
+    return j.groupBy(id_col).agg(
+        F.count("bucket").cast("long").alias("n_grams"),
+        F.coalesce(F.sum("lr_milli"), F.lit(0)).cast("long").alias("dsir_milli"),
+    )

@@ -1522,3 +1522,90 @@ def test_semdedup_hot_cell_cap_bounds_pairs(spark):
     small_cell = {(l, r) for l, r in full if l >= 30 and r >= 30}
     assert small_cell, "small clump must have pairs"
     assert got == small_cell  # hot cell dropped, small cell intact
+
+
+def _py_mitchell(v: int) -> int:
+    """Python twin of selection.mitchell_log2_milli (HALF_UP round —
+    the frac term is always >= 0 so floor(x+0.5) matches F.round)."""
+    import math
+
+    L = v.bit_length()
+    p = 1 << (L - 1)
+    return 1000 * (L - 1) + math.floor(1000.0 * (v - p) / p + 0.5)
+
+
+def test_mitchell_log2_milli_matches_python(spark):
+    from pdfwf_spark.operators.selection import mitchell_log2_milli
+    import pyspark.sql.functions as F
+
+    vals = [1, 2, 3, 5, 11, 100, 1023, 1024, 1025, 6_000_000_000]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["m"]
+        for r in df.select("v", mitchell_log2_milli(F.col("v")).alias("m")).collect()
+    }
+    assert got == {v: _py_mitchell(v) for v in vals}
+    # the approximation is exact at powers of two and ~log2 elsewhere
+    assert got[1024] == 10_000 and got[1] == 0
+
+
+def _py_dsir_bucket(g: str, buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(("dsir#" + g).encode()).hexdigest()[:8], 16) % buckets
+
+
+def _py_grams(text: str) -> list:
+    toks = text.lower().strip().split()
+    return toks + [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+
+
+def test_dsir_scores_brute_force(spark):
+    """End-to-end DSIR vs a hashlib/pure-python recomputation: fit on
+    lang='en' target vs all-docs raw, score every doc (including an
+    empty one, which must survive with (0, 0))."""
+    from pdfwf_spark.operators.selection import dsir_fit, dsir_scores
+
+    rows = [
+        (0, "the quick brown fox jumps", "en"),
+        (1, "the quick brown dog sleeps", "en"),
+        (2, "el rapido zorro marron salta", "es"),
+        (3, "le renard brun rapide saute", "fr"),
+        (4, "the quick zorro", "es"),
+        (5, "", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    B = 64
+    lr_df = dsir_fit(docs.filter("lang = 'en'"), docs, n_buckets=B)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_milli"])
+        for r in dsir_scores(docs, lr_df, n_buckets=B).collect()
+    }
+
+    tc, rc = {}, {}
+    for _, text, lang in rows:
+        for g in _py_grams(text):
+            b = _py_dsir_bucket(g, B)
+            rc[b] = rc.get(b, 0) + 1
+            if lang == "en":
+                tc[b] = tc.get(b, 0) + 1
+    tt, rt = sum(tc.values()) + B, sum(rc.values()) + B
+    lr = {
+        b: _py_mitchell(tc.get(b, 0) + 1)
+        - _py_mitchell(tt)
+        - _py_mitchell(rc.get(b, 0) + 1)
+        + _py_mitchell(rt)
+        for b in range(B)
+    }
+    want = {}
+    for doc_id, text, _ in rows:
+        gs = _py_grams(text)
+        want[doc_id] = (len(gs), sum(lr[_py_dsir_bucket(g, B)] for g in gs))
+    assert got == want
+    assert got[5] == (0, 0)
+
+    # the ratio table itself: dense over all B buckets, matches python
+    got_lr = {r["bucket"]: r["lr_milli"] for r in lr_df.collect()}
+    assert got_lr == lr
+    # english-heavy docs must outscore non-english ones here
+    assert got[0][1] > got[2][1] and got[1][1] > got[3][1]

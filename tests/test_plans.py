@@ -451,3 +451,25 @@ def test_semdedup_cell_equi_join_prune_broadcast_anti(spark):
 
     prune_plan = _plan(semdedup_prune(emb, pairs))
     assert "BroadcastHashJoin" in prune_plan and "LeftAnti" in prune_plan
+
+
+def test_dsir_scoring_broadcast_join_single_doc_shuffle(spark):
+    """dsir_scores: the ratio lookup must broadcast (never shuffle the
+    exploded corpus by bucket) and the whole scoring pass must shuffle
+    exactly once — the groupBy on the doc id. The fit's count
+    aggregates must map-side combine (partial_count)."""
+    from pdfwf_spark.operators.selection import (
+        dsir_scores, ngram_bucket_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lr = spark.createDataFrame(
+        [(b, (b % 7) - 3) for b in range(64)], "bucket long, lr_milli long"
+    )
+    plan = _plan(dsir_scores(docs, lr, n_buckets=64))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    fit_plan = _plan(ngram_bucket_counts(docs, n_buckets=64))
+    assert "partial_count" in fit_plan
+    assert fit_plan.count("Exchange hashpartitioning") == 1
