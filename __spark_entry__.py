@@ -1523,6 +1523,20 @@ def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores(docs, lr, n_buckets=2048)
 
 
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end-to-end selection (selection.dsir_select): fit, score,
+    then keep the docs at/above the exact 90th-percentile score. The
+    threshold is the lazy grouped-histogram quantile (O(distinct)
+    shuffle, broadcast back), oracled against quantile_cont."""
+    from pdfwf_spark.operators.selection import (
+        dsir_fit, dsir_scores, dsir_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lr = dsir_fit(docs.filter(F.col("lang") == "en"), docs, n_buckets=2048)
+    return dsir_select(dsir_scores(docs, lr, n_buckets=2048), q=0.9)
+
+
 def _q_stream_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window stats (streaming/windows.py) run on
     its batch twin path (the watermark is a no-op on batch input —
@@ -1868,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": _q_semdedup_prune,
         "dsir_ratio": _q_dsir_ratio,  # oracled: Mitchell fixed-point log2
         "dsir_scores": _q_dsir_scores,
+        "dsir_select": _q_dsir_select,  # oracled: + quantile_cont threshold
     }
 
 
@@ -3741,6 +3756,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, COUNT(*) AS n, SUM(lr_milli) AS sm
               FROM grams JOIN lr USING (bucket) GROUP BY doc_id) s
             USING (doc_id)
+        """,
+        "dsir_select": f"""
+            WITH {_dsir_ctes(2048)},
+            s AS (
+              SELECT d.doc_id,
+                     COALESCE(x.n, 0)::BIGINT AS n_grams,
+                     COALESCE(x.sm, 0)::BIGINT AS dsir_milli
+              FROM documents d LEFT JOIN (
+                SELECT doc_id, COUNT(*) AS n, SUM(lr_milli) AS sm
+                FROM grams JOIN lr USING (bucket) GROUP BY doc_id) x
+              USING (doc_id)),
+            thr AS (SELECT CAST(ROUND(1000 * quantile_cont(dsir_milli, 0.9))
+                            AS BIGINT) AS t FROM s)
+            SELECT doc_id, n_grams, dsir_milli FROM s
+            WHERE dsir_milli * 1000 >= (SELECT t FROM thr)
         """,
         "emb_ivf_topk": """
             WITH v AS (

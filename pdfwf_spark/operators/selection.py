@@ -198,3 +198,34 @@ def dsir_scores(
         F.count("bucket").cast("long").alias("n_grams"),
         F.coalesce(F.sum("lr_milli"), F.lit(0)).cast("long").alias("dsir_milli"),
     )
+
+
+def dsir_select(
+    scored: DataFrame,
+    q: float = 0.9,
+    score_col: str = "dsir_milli",
+) -> DataFrame:
+    """Keep the rows at or above the EXACT q-quantile of the score
+    distribution — the deterministic threshold form of DSIR's resample
+    step (the paper adds Gumbel noise; a log of a uniform is libm
+    territory, so the reproducible engine variant thresholds instead
+    and leaves randomized tie-breaking to sampling.split_assign's md5
+    space if a caller wants it). The threshold comes from
+    sketch.grouped_histogram_quantiles over a constant group — fully
+    lazy, shuffle O(distinct scores), no global row sort, no driver
+    collect — and is broadcast back over the corpus, so the selection
+    pass itself never shuffles the data.
+    """
+    from pdfwf_spark.operators.sketch import (
+        _milli_label, grouped_histogram_quantiles,
+    )
+
+    thr = grouped_histogram_quantiles(
+        scored.select(F.lit(0).alias("_g"), F.col(score_col)),
+        ["_g"], score_col, [q],
+    ).select(F.col(_milli_label(q)).alias("_thr_milli"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col(score_col) * 1000 >= F.col("_thr_milli"))
+        .drop("_thr_milli")
+    )

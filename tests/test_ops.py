@@ -1609,3 +1609,24 @@ def test_dsir_scores_brute_force(spark):
     assert got_lr == lr
     # english-heavy docs must outscore non-english ones here
     assert got[0][1] > got[2][1] and got[1][1] > got[3][1]
+
+
+def test_dsir_select_exact_percentile_threshold(spark):
+    """dsir_select keeps exactly the rows >= the type-7 q-quantile of
+    the score column (numpy's default quantile), never shuffling the
+    corpus for the selection itself."""
+    import numpy as np
+
+    from pdfwf_spark.operators.selection import dsir_select
+
+    scores = [-40, -10, -5, 0, 3, 3, 7, 12, 25, 90]
+    scored = spark.createDataFrame(
+        [(i, 10, s) for i, s in enumerate(scores)],
+        "doc_id long, n_grams long, dsir_milli long",
+    ).repartition(4)
+    got = sorted(r["doc_id"] for r in dsir_select(scored, q=0.7).collect())
+    thr = float(np.quantile(np.array(scores, dtype="float64"), 0.7))
+    want = sorted(
+        i for i, s in enumerate(scores) if s * 1000 >= round(thr * 1000)
+    )
+    assert got == want and 0 < len(got) < len(scores)
