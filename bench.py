@@ -106,6 +106,11 @@ HEADLINE = [
     "conv_curate",
     "conv_tool_loops",
     "hll_state",
+    "semdedup_pairs",
+    "semdedup_prune",
+    "dsir_ratio",
+    "dsir_scores",
+    "dsir_select",
 ]
 
 
