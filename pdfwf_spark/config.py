@@ -240,3 +240,42 @@ class PackConfig:
     @classmethod
     def from_yaml(cls, path: str | Path) -> "PackConfig":
         return dataclass_from_yaml(cls, path)
+
+
+@dataclass
+class SelectConfig:
+    """Config surface of the DSIR data-selection job
+    (jobs/run_select.py): a raw document pool in, either the scored
+    table or the selected top slice out (operators/selection.py).
+    The target corpus is EITHER a separate table (`target`) or a SQL
+    filter expression over the input (`target_filter`) — exactly one.
+    """
+
+    input: str
+    output: str
+    target: str | None = None  # path/table of the target corpus
+    target_filter: str | None = None  # SQL expr over input, e.g. "lang = 'en'"
+    mode: str = "select"  # select (top slice) | score (all docs + scores)
+    q: float = 0.9  # selection quantile (mode=select)
+    n_buckets: int = 8192
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    salt: str = "dsir"
+
+    def __post_init__(self) -> None:
+        if not self.input or not self.output:
+            raise ValueError("config requires non-empty 'input' and 'output'")
+        if (self.target is None) == (self.target_filter is None):
+            raise ValueError(
+                "exactly one of 'target' or 'target_filter' is required"
+            )
+        if self.mode not in ("select", "score"):
+            raise ValueError(f"mode must be select|score, got {self.mode!r}")
+        if not (0.0 < self.q < 1.0):
+            raise ValueError(f"q must be in (0, 1), got {self.q}")
+        if self.n_buckets <= 0:
+            raise ValueError("n_buckets must be positive")
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "SelectConfig":
+        return dataclass_from_yaml(cls, path)

@@ -383,3 +383,64 @@ def test_context_config_validation():
         ContextConfig(input="a", output="b", k=0)
     with _pytest.raises(ValueError, match="non-empty"):
         ContextConfig(input="", output="b")
+
+
+def test_select_job_end_to_end(spark, tmp_path):
+    """jobs/run_select.py driven as a subprocess with YAML + a CLI
+    override (--q): DSIR-selected slice written with original columns
+    plus scores, one JSON stats line printed, and english-looking
+    docs outrank the rest."""
+    import json
+
+    src = str(tmp_path / "pool.parquet")
+    rows = [
+        (i, "the quick brown fox runs over the lazy dog again " * 3
+            + f"extra{i} note{i}", "en")
+        for i in range(20)
+    ] + [
+        (100 + i, "el zorro marron salta sobre el perro otra vez " * 3
+            + f"extra{i} nota{i}", "es")
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(src)
+    out = str(tmp_path / "selected")
+    cfgp = tmp_path / "select.yaml"
+    cfgp.write_text(
+        f"input: {src}\noutput: {out}\n"
+        "target_filter: lang = 'en'\nn_buckets: 128\nq: 0.9\n"
+    )
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_select.py"),
+         "--config", str(cfgp), "--q", "0.6"],
+        capture_output=True, text=True, env=env, timeout=240,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["q"] == 0.6 and stats["n_input"] == 40  # CLI beat YAML
+    assert 0 < stats["n_output"] < 40
+
+    sel = spark.read.parquet(out)
+    assert set(sel.columns) >= {"doc_id", "text", "lang", "n_grams", "dsir_milli"}
+    # target-lookalike docs fill the kept slice before anything else
+    langs = {r["lang"] for r in sel.select("lang").distinct().collect()}
+    assert langs == {"en"}
+
+
+def test_select_config_validation():
+    import pytest as _pytest
+
+    from pdfwf_spark.config import SelectConfig
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        SelectConfig(input="a", output="b")
+    with _pytest.raises(ValueError, match="exactly one"):
+        SelectConfig(input="a", output="b", target="t", target_filter="x=1")
+    with _pytest.raises(ValueError, match="q must be"):
+        SelectConfig(input="a", output="b", target="t", q=1.0)
+    with _pytest.raises(ValueError, match="mode must be"):
+        SelectConfig(input="a", output="b", target="t", mode="resample")
