@@ -1537,6 +1537,24 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(dsir_scores(docs, lr, n_buckets=2048), q=0.9)
 
 
+def _q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score (selection.lm_scores): per-doc
+    AVERAGE hashed-ngram log2-probability under the lang='en' target
+    model, Mitchell milli-bits; the one ROUND happens on the per-doc
+    mean. Empty docs -> (0, NULL). Oracle: same CTEs as the DSIR
+    family plus the single-model lp table."""
+    from pdfwf_spark.operators.selection import (
+        lm_log_prob, lm_scores, ngram_bucket_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lp = lm_log_prob(
+        ngram_bucket_counts(docs.filter(F.col("lang") == "en"), n_buckets=2048),
+        n_buckets=2048,
+    )
+    return lm_scores(docs, lp, n_buckets=2048)
+
+
 def _q_stream_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window stats (streaming/windows.py) run on
     its batch twin path (the watermark is a no-op on batch input —
@@ -1818,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_ratio": _q_dsir_ratio,  # r5: Mitchell fixed-point log2 ratio fit
         "dsir_scores": _q_dsir_scores,  # r5: per-doc importance scores
         "dsir_select": _q_dsir_select,  # r5: exact-percentile selection
+        "text_lm_score": _q_text_lm_score,  # r5: CCNet-style LM quality proxy
         # ---------------- below the driver's 50-row fold ----------------
         # (these were recorded green in the r04 driver window; moved
         # below to make room for the r5 headliners. f2/f3/f4/f10 are
@@ -3773,6 +3792,24 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS t FROM s)
             SELECT doc_id, n_grams, dsir_milli FROM s
             WHERE dsir_milli * 1000 >= (SELECT t FROM thr)
+        """,
+        # CCNet-style LM quality proxy: single-model log-prob table +
+        # ONE ROUND on the per-doc mean (empty docs -> NULL lm)
+        "text_lm_score": f"""
+            WITH {_dsir_ctes(2048)},
+            lp AS (
+              SELECT b.bucket,
+                     ({_mit_sql('COALESCE(tc.c, 0) + 1')}
+                      - {_mit_sql('(SELECT v FROM tt)')})::BIGINT AS lp_milli
+              FROM range(0, 2048) AS b(bucket) LEFT JOIN tc USING (bucket))
+            SELECT d.doc_id,
+                   COALESCE(s.n, 0)::BIGINT AS n_grams,
+                   s.lm::BIGINT AS lm_milli
+            FROM documents d LEFT JOIN (
+              SELECT doc_id, COUNT(*) AS n,
+                     CAST(ROUND(SUM(lp_milli) / COUNT(*)) AS BIGINT) AS lm
+              FROM grams JOIN lp USING (bucket) GROUP BY doc_id) s
+            USING (doc_id)
         """,
         "emb_ivf_topk": """
             WITH v AS (

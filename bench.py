@@ -111,6 +111,7 @@ HEADLINE = [
     "dsir_ratio",
     "dsir_scores",
     "dsir_select",
+    "text_lm_score",
 ]
 
 

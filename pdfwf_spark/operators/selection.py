@@ -229,3 +229,62 @@ def dsir_select(
         .filter(F.col(score_col) * 1000 >= F.col("_thr_milli"))
         .drop("_thr_milli")
     )
+
+
+def lm_log_prob(
+    target_counts: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(bucket, lp_milli) DENSE: add-1-smoothed log2-probability of
+    each hashed-ngram bucket under ONE corpus model, in Mitchell
+    milli-bits — the single-model half of dsir_log_ratio, which is
+    all a CCNet-style LM quality filter needs. All-broadcast build,
+    never corpus-sized."""
+    spark = target_counts.sparkSession
+    dense = spark.range(0, n_buckets).select(F.col("id").alias("bucket"))
+    tot = target_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("_tot")
+    )
+    j = dense.join(
+        F.broadcast(target_counts.select("bucket", F.col("cnt").alias("_c"))),
+        "bucket",
+        "left",
+    ).crossJoin(F.broadcast(tot))
+    c = F.coalesce(F.col("_c"), F.lit(0)).cast("long") + 1
+    lp = mitchell_log2_milli(c) - mitchell_log2_milli(F.col("_tot") + n_buckets)
+    return j.select("bucket", lp.cast("long").alias("lp_milli"))
+
+
+def lm_scores(
+    docs: DataFrame,
+    log_prob: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    salt: str = "dsir",
+) -> DataFrame:
+    """(id_col, n_grams, lm_milli): the document's AVERAGE hashed-ngram
+    log2-probability under the target model, in Mitchell milli-bits —
+    the CCNet quality-filter shape (Wenzek et al. 2020 rank CommonCrawl
+    documents by LM perplexity under a clean-corpus LM; a more negative
+    average here = more perplexing = lower quality). Per-gram log-probs
+    are integers; the single ROUND happens once on the per-doc mean
+    (long/long -> one correctly-rounded IEEE division, identical both
+    engines). Empty docs survive with n_grams 0 and lm_milli NULL —
+    a no-grams doc has no likelihood to rank by, which the caller must
+    decide about explicitly. Same plan shape as dsir_scores: explode,
+    broadcast lookup, ONE doc-id groupBy.
+    """
+    g = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
+        ).alias("bucket"),
+    )
+    j = g.join(F.broadcast(log_prob), "bucket", "left")
+    return j.groupBy(id_col).agg(
+        F.count("bucket").cast("long").alias("n_grams"),
+        F.round(F.sum("lp_milli") / F.count("bucket"))
+        .cast("long")
+        .alias("lm_milli"),
+    )

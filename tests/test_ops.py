@@ -1630,3 +1630,56 @@ def test_dsir_select_exact_percentile_threshold(spark):
         i for i, s in enumerate(scores) if s * 1000 >= round(thr * 1000)
     )
     assert got == want and 0 < len(got) < len(scores)
+
+
+def test_lm_scores_brute_force(spark):
+    """CCNet-style LM score vs pure-python recomputation: avg Mitchell
+    milli log2-prob under the en-target model; empty doc -> (0, None)."""
+    from pdfwf_spark.operators.selection import (
+        lm_log_prob, lm_scores, ngram_bucket_counts,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps", "en"),
+        (1, "the quick brown dog sleeps", "en"),
+        (2, "el rapido zorro marron salta", "es"),
+        (3, "the quick zorro", "es"),
+        (4, "", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    B = 64
+    lp_df = lm_log_prob(
+        ngram_bucket_counts(docs.filter("lang = 'en'"), n_buckets=B), B
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["lm_milli"])
+        for r in lm_scores(docs, lp_df, n_buckets=B).collect()
+    }
+
+    tc = {}
+    for _, text, lang in rows:
+        if lang != "en":
+            continue
+        for g in _py_grams(text):
+            b = _py_dsir_bucket(g, B)
+            tc[b] = tc.get(b, 0) + 1
+    tot = sum(tc.values()) + B
+    lp = {
+        b: _py_mitchell(tc.get(b, 0) + 1) - _py_mitchell(tot) for b in range(B)
+    }
+    import math
+
+    want = {}
+    for doc_id, text, _ in rows:
+        gs = _py_grams(text)
+        if not gs:
+            want[doc_id] = (0, None)
+            continue
+        s = sum(lp[_py_dsir_bucket(g, B)] for g in gs)
+        m = s / len(gs)  # negative -> HALF_UP rounds away from zero
+        want[doc_id] = (len(gs), math.floor(m + 0.5) if m >= 0
+                        else -math.floor(-m + 0.5))
+    assert got == want
+    assert got[4] == (0, None)
+    # in-model docs must be less perplexing than out-of-model ones
+    assert got[0][1] > got[2][1]
