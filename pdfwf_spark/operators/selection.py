@@ -86,6 +86,49 @@ def hashed_ngram_buckets(
     )
 
 
+def _gram_rows(
+    docs: DataFrame,
+    cols: list,
+    text_col: str,
+    n_buckets: int,
+    salt: str,
+    outer: bool = False,
+) -> DataFrame:
+    """(… cols …, bucket) — one row per hashed unigram/bigram of each
+    document. Two deliberate plan choices vs mapping the array through
+    hashed_ngram_buckets and exploding the result (r6 optimization,
+    guide §2.5/§4.1):
+
+    - the scan is repartitioned first (exploded_shingles precedent): a
+      single-row-group parquet file otherwise pins the whole md5 pass
+      to ONE task;
+    - the md5 bucket is computed AFTER the explode as a plain row
+      expression (whole-stage codegen) instead of inside an array
+      `transform` lambda (interpreted per element).
+
+    Bucket values are bit-identical to hashed_ngram_buckets (same md5
+    over the same gram strings); explode_outer keeps gram-less docs
+    with a NULL bucket (null gram -> null concat -> null md5).
+    """
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    grams = F.concat(toks, word_ngrams(toks, 2))
+    ex = (F.explode_outer if outer else F.explode)(grams).alias("_gram")
+    rows = repartition_for_scan(docs).select(*cols, ex)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "#"), F.col("_gram"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    return rows.select(*cols, bucket.alias("bucket"))
+
+
 def ngram_bucket_counts(
     docs: DataFrame,
     text_col: str = "text",
@@ -97,9 +140,8 @@ def ngram_bucket_counts(
     combine bounds the shuffle at n_buckets rows per map task no
     matter how many documents feed it.
     """
-    b = hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
     return (
-        docs.select(F.explode(b).alias("bucket"))
+        _gram_rows(docs, [], text_col, n_buckets, salt)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -187,12 +229,7 @@ def dsir_scores(
     the doc id. Compose with sampling.split_assign / cap_per_group or
     a plain threshold filter for the actual resample.
     """
-    g = docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
-        ).alias("bucket"),
-    )
+    g = _gram_rows(docs, [F.col(id_col)], text_col, n_buckets, salt, outer=True)
     j = g.join(F.broadcast(log_ratio), "bucket", "left")
     return j.groupBy(id_col).agg(
         F.count("bucket").cast("long").alias("n_grams"),
@@ -275,12 +312,7 @@ def lm_scores(
     decide about explicitly. Same plan shape as dsir_scores: explode,
     broadcast lookup, ONE doc-id groupBy.
     """
-    g = docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
-        ).alias("bucket"),
-    )
+    g = _gram_rows(docs, [F.col(id_col)], text_col, n_buckets, salt, outer=True)
     j = g.join(F.broadcast(log_prob), "bucket", "left")
     return j.groupBy(id_col).agg(
         F.count("bucket").cast("long").alias("n_grams"),

@@ -32,6 +32,13 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# NOTE (r6, measured): unrolling _dot into a 64-term element_at chain
+# is 10x SLOWER than the fold (98.7 s vs 9.3 s on the sf1 semdedup
+# pair scan) — the giant expression bails out of whole-stage codegen
+# and interpreted GetArrayItem-with-null-checks costs far more than
+# the single fold. Keep the higher-order-function _dot.
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
@@ -406,6 +413,30 @@ def bucketed_neardup_pairs(
     )
 
 
+def _nearest_centroid(vm: Column, cents: list) -> Column:
+    """struct(dist, cluster) of the nearest centroid for a quantized
+    milli-int vector: argmin of integer squared-L2 with ties broken by
+    lowest cluster id, expressed as sort_array over (dist, cluster)
+    structs — the exact total order both kmeans assignment paths pin
+    (all-integer, bit-stable under any partitioning)."""
+    entries = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vm,
+                    F.array(*[F.lit(v) for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.lit(j).alias("cluster"),
+        )
+        for j, c in enumerate(cents)
+    ]
+    return F.sort_array(F.array(*entries))[0]
+
+
 def kmeans_cluster(
     emb: DataFrame,
     k: int = 8,
@@ -443,11 +474,16 @@ def kmeans_cluster(
     k*dim at the cost of one id-keyed argmin shuffle per iteration
     (map-side combining, so it moves one row per vector).
     """
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
     if k <= 0 or iters < 0:
         raise ValueError(f"need k > 0, iters >= 0; got k={k}, iters={iters}")
     if assign not in ("literal", "broadcast"):
         raise ValueError(f"assign must be 'literal' or 'broadcast', got {assign!r}")
-    q = emb.select(
+    # repartition_for_scan: a single-row-group parquet input otherwise
+    # pins every fit pass to ONE task (r6; integer math is partition-
+    # order-independent, so the result is unchanged)
+    q = repartition_for_scan(emb).select(
         F.col(id_col),
         F.transform(
             F.col(vec_col), lambda x: F.round(1000 * x.cast("double")).cast("long")
@@ -464,23 +500,11 @@ def kmeans_cluster(
         )
     cents = [list(r["_vm"]) for r in init_rows]
 
+    def _best_literal() -> Column:
+        return _nearest_centroid(F.col("_vm"), cents)
+
     def _assigned_literal() -> DataFrame:
-        entries = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_vm"),
-                        F.array(*[F.lit(v) for v in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(j).alias("cluster"),
-            )
-            for j, c in enumerate(cents)
-        ]
-        best = F.sort_array(F.array(*entries))[0]
+        best = _best_literal()
         return q.select(
             F.col(id_col),
             best["cluster"].alias("cluster"),
@@ -514,27 +538,54 @@ def kmeans_cluster(
         )
 
     assigned = _assigned_literal if assign == "literal" else _assigned_broadcast
+    dim = len(cents[0])
 
     for _ in range(iters):
-        a = assigned()
-        sums = (
-            a.join(q, id_col)
-            .select("cluster", F.posexplode("_vm").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        new_cents = [list(c) for c in cents]  # empty cluster keeps old
-        by_cluster: dict[int, list] = {}
-        for r in sums:
-            by_cluster.setdefault(r["cluster"], []).append(r)
-        for cl, rows in by_cluster.items():
-            vec = new_cents[cl]
+        if assign == "literal":
+            # the assignment expression already reads the checkpointed
+            # _vm, so the per-dim sums can be taken in the SAME pass —
+            # no join back to q, no n x dim posexplode: one groupBy
+            # whose map-side partials are k rows x (dim + 1) longs (r6;
+            # previously: assignment -> id-keyed shuffle join ->
+            # posexplode -> (cluster, pos) aggregate)
+            rows = (
+                q.select(_best_literal()["cluster"].alias("cluster"), "_vm")
+                .groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    *[
+                        F.sum(F.element_at("_vm", i + 1)).alias(f"s_{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            new_cents = [list(c) for c in cents]  # empty cluster keeps old
             for r in rows:
-                # python floor division: exact, negative-safe, and
-                # reproduced verbatim by the pytest twin
-                vec[r["pos"]] = r["s"] // r["c"]
-        cents = new_cents
+                vec = new_cents[r["cluster"]]
+                for i in range(dim):
+                    # python floor division: exact, negative-safe, and
+                    # reproduced verbatim by the pytest twin
+                    vec[i] = r[f"s_{i}"] // r["c"]
+            cents = new_cents
+        else:
+            a = assigned()
+            sums = (
+                a.join(q, id_col)
+                .select("cluster", F.posexplode("_vm").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            new_cents = [list(c) for c in cents]  # empty cluster keeps old
+            by_cluster: dict[int, list] = {}
+            for r in sums:
+                by_cluster.setdefault(r["cluster"], []).append(r)
+            for cl, rows_ in by_cluster.items():
+                vec = new_cents[cl]
+                for r in rows_:
+                    vec[r["pos"]] = r["s"] // r["c"]
+            cents = new_cents
 
     return assigned(), cents
 
@@ -658,26 +709,51 @@ def semdedup_pairs(
     granularity only (checkpointed path sets, convert.py:249-257);
     semantic near-dup is beyond-parity.
     """
-    assigned, _ = kmeans_cluster(
-        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, assign=assign
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
+    # ONE checkpointed base row per vector: id, double vector, norm,
+    # and the quantized _vm the assignment argmin reads. The fit runs
+    # over this base; the final cell assignment is then an INLINE
+    # expression on the materialized _vm — no assignment-to-vector
+    # join, no second scan (r6; previously: fit joined q back per
+    # iter, then the final assignment joined with_unit_norm(emb) by
+    # id — two extra shuffles of the corpus).
+    base = with_unit_norm(repartition_for_scan(emb), vec_col).select(
+        F.col(id_col).alias("id"), "_vec", "_norm",
+        F.transform(
+            F.col(vec_col), lambda x: F.round(1000 * x.cast("double")).cast("long")
+        ).alias("_vm"),
+    ).localCheckpoint(eager=False)
+    _, cents = kmeans_cluster(
+        base, k=k, iters=iters, id_col="id", vec_col="_vec", assign=assign
     )
-    v = with_unit_norm(emb, vec_col).select(
-        F.col(id_col).alias("id"), "_vec", "_norm"
+    best = _nearest_centroid(F.col("_vm"), cents)
+    cells = base.select(
+        "id", best["cluster"].alias("cell"), "_vec", "_norm"
     )
-    cells = assigned.select(
-        F.col(id_col).alias("id"), F.col("cluster").alias("cell")
-    ).join(v, "id")
     cells = cap_hot_groups(cells, ["cell"], max_cell)
+    # pair-scan parallelism (r6, guide §2.5): the self-join's only
+    # equi-key is the cell id — k keys means at most k busy reduce
+    # partitions no matter the cluster size. Sub-split each cell
+    # deterministically: the left row carries _ps = xxhash64(id) % S,
+    # the right side is replicated S ways, and the join keys on
+    # (cell, _ps) — every (l, r) pair still meets EXACTLY once (at
+    # l's _ps), so the result set is unchanged while the scan spreads
+    # over k*S partitions.
+    n_subsplits = 4
     l = cells.select(
         F.col("id").alias("l_id"), "cell",
         F.col("_vec").alias("_lv"), F.col("_norm").alias("_ln"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_subsplits)).alias("_ps"),
     )
     r = cells.select(
         F.col("id").alias("r_id"), "cell",
         F.col("_vec").alias("_rv"), F.col("_norm").alias("_rn"),
+    ).withColumn(
+        "_ps", F.explode(F.array(*[F.lit(s).cast("long") for s in range(n_subsplits)]))
     )
     return (
-        l.join(r, ["cell"])
+        l.join(r, ["cell", "_ps"])
         .filter(F.col("l_id") < F.col("r_id"))
         .withColumn(
             "cos_milli",
