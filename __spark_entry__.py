@@ -407,8 +407,10 @@ def _q_p6_meta_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 — full 9-key metadata projection (pymupdf.py:83-93) over a
     header-bearing payload synthesized from documents."""
     from pdfwf_spark.operators.functions import project_meta9
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    # r6: single-row-group input otherwise pins the regex pass to one task
+    docs = repartition_for_scan(_t(spark, sf_dir, "documents"))
     payload = F.concat(
         F.lit("Title: doc "), F.col("doc_id").cast("string"), F.lit("\n"),
         F.lit("Authors: author-"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
@@ -424,8 +426,9 @@ def _q_f7_markdown_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 — markdown_compatible repair pass (nougat_.py:124,245-246)
     on crafted markdown-noisy payloads."""
     from pdfwf_spark.operators.functions import markdown_compatible_col
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = repartition_for_scan(_t(spark, sf_dir, "documents"))
     payload = F.concat(
         F.lit("#Intro "), F.col("doc_id").cast("string"),
         F.lit("\n(1.2) \\[E=mc^2\\]\nsee https://ex.org/d"),
@@ -744,10 +747,19 @@ def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfwf_spark.operators.partitioning import repartition_for_scan
     from pdfwf_spark.operators.textstats import with_lang_id, with_quality_score
 
+    from pdfwf_spark.operators.functions import eval_once
+
     docs = repartition_for_scan(_t(spark, sf_dir, "documents"))
     keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     kept = docs.join(keepers, "doc_id", "left_semi")
     scored = with_lang_id(with_quality_score(kept))
+    # eval_once: the pushed-down filter would otherwise re-evaluate
+    # the whole HOF scoring chain per row (r6: 9.4 s -> 1.8 s at sf1)
+    scored = scored.select(
+        "doc_id", "n_tokens",
+        eval_once(F.col("quality_milli")).alias("quality_milli"),
+        eval_once(F.col("lang_pred")).alias("lang_pred"),
+    )
     return scored.filter(
         (F.col("quality_milli") >= 500) & (F.col("lang_pred") == "en")
     ).select("doc_id", "n_tokens", "quality_milli")
@@ -1109,7 +1121,16 @@ def _q_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("top2gram_milli") <= 150).select("doc_id")
     kept = kept.join(rep, "doc_id", "left_semi")
 
+    from pdfwf_spark.operators.functions import eval_once
+
     scored = with_lang_id(with_quality_score(with_pii_redacted(kept)))
+    # eval_once on the filtered columns: same pushed-filter
+    # re-evaluation fix as curate_corpus (r6, guide §4.4)
+    scored = scored.select(
+        "doc_id", "n_tokens", "n_email", "redacted_text",
+        eval_once(F.col("quality_milli")).alias("quality_milli"),
+        eval_once(F.col("lang_pred")).alias("lang_pred"),
+    )
     return scored.filter(
         (F.col("quality_milli") >= 500) & (F.col("lang_pred") == "en")
     ).select("doc_id", "n_tokens", "quality_milli", "n_email", "redacted_text")
@@ -1240,9 +1261,10 @@ def _q_text_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filter shape): token -> md5-hashed integer weight, doc
     score = mean token weight. Integer arithmetic end to end, so the
     oracle reproduces scores exactly."""
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
     from pdfwf_spark.operators.textstats import with_hashed_classifier_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = repartition_for_scan(_t(spark, sf_dir, "documents"))
     return with_hashed_classifier_score(docs).select("doc_id", "clf_score_milli")
 
 
@@ -1414,8 +1436,10 @@ def _q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfwf_spark.core.normalize import MOJIBAKE_MAP
     from pdfwf_spark.operators.functions import fix_mojibake_col
 
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
     sample = " " + " ".join(bad for bad, _ in MOJIBAKE_MAP)
-    docs = _t(spark, sf_dir, "documents")
+    docs = repartition_for_scan(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         fix_mojibake_col(F.concat(F.col("text"), F.lit(sample))).alias("fixed_text"),
@@ -1606,9 +1630,12 @@ def _q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join + exact count confirms — deterministic, so the whole
     two-pass plan oracles as one GROUP BY ... HAVING."""
     from pdfwf_spark.operators.dedup import tokens, word_ngrams
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
     from pdfwf_spark.operators.sketch import heavy_hitters
 
-    docs = _t(spark, sf_dir, "documents")
+    # repartition BEFORE the explode: the operator's own guard would
+    # otherwise round-robin the exploded gram rows instead of the docs
+    docs = repartition_for_scan(_t(spark, sf_dir, "documents"))
     toks = F.filter(tokens(F.col("text")), lambda x: x != "")
     grams = docs.select(F.explode(word_ngrams(toks, 2)).alias("ngram"))
     return heavy_hitters(grams, "ngram", min_count=40)
@@ -1644,9 +1671,10 @@ def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-category counts). The corpus has no PII, so a deterministic
     contact block is appended per doc — built with the identical
     expression in the DuckDB oracle — making every rule fire."""
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
     from pdfwf_spark.operators.textstats import with_pii_redacted
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = repartition_for_scan(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
             F.col("text"),

@@ -138,6 +138,37 @@ def _log_drops(exploded: DataFrame, keys: list[str], cap: int | None,
     )
 
 
+def _pair_counts(pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b, inter): exact occurrence count per candidate pair.
+
+    NOT a plain groupBy: co-occurrence pair streams are almost all
+    DISTINCT (measured sf1 jaccard: 127M join rows -> 114M distinct
+    pairs, ~1.11 rows/key), so map-side partial aggregation builds
+    multi-million-entry hash maps that reduce nothing — pure overhead
+    (guide §2.3 inverted: partial agg only helps when keys repeat).
+    Repartitioning on the group keys first satisfies the aggregate's
+    required distribution, so the whole count runs as one post-shuffle
+    aggregate with no useless partial maps (measured 40.8 s -> 15.9 s
+    on the sf1 jaccard inter step; with the shuffle_hash join hint on
+    the producing self-join, 10.2 s). The keyed repartition inherits
+    spark.sql.shuffle.partitions — scale-adaptive, not a local-mode
+    constant.
+    """
+    return (
+        pairs.repartition("id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
+def _distinct_pairs(pairs: DataFrame) -> DataFrame:
+    """DISTINCT over a candidate-pair stream — same shape reasoning as
+    _pair_counts (nearly-all-unique keys make the partial aggregate a
+    no-op that still builds giant maps); repartition on the pair, then
+    a single post-shuffle distinct."""
+    return pairs.repartition("id_a", "id_b").distinct()
+
+
 def tokens(text_col: Column) -> Column:
     """Whitespace tokenization of lowercased text."""
     return F.split(F.trim(F.lower(text_col)), r"\s+")
@@ -276,7 +307,7 @@ def lsh_candidate_pairs(
     if cap_mode == "salt" and max_bucket_size is not None:
         join_keys = join_keys & (F.col("a._salt") == F.col("b._salt"))
     a, b_ = exploded.alias("a"), exploded.alias("b")
-    return (
+    return _distinct_pairs(
         a.join(
             b_,
             join_keys & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -284,7 +315,6 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
     )
 
 
@@ -320,13 +350,20 @@ def ngram_jaccard_pairs(
     sh = exploded_shingles(docs, text_col, id_col, shingle_n)
     if log_drops:
         _log_drops(sh, ["sh"], max_df, "ngram_jaccard_pairs")
-    sh = cap_hot_groups(sh, ["sh"], max_df)
+    # checkpoint the capped shingle table: FOUR consumers (both
+    # self-join sides — the shuffle_hash hint makes their subtrees
+    # differ, defeating ReuseExchange — plus both per-doc counts)
+    # would otherwise each re-run the tokenize+shingle+df-cap pass
+    # (r6; measured on the sf1 plan: 4 separate Exchanges over the
+    # same shingle subtree)
+    sh = cap_hot_groups(sh, ["sh"], max_df).localCheckpoint(eager=False)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter = _pair_counts(
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
     ca = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -354,15 +391,30 @@ def _bit_majority_sums(docs: DataFrame, text_col: str, id_col: str, bits: int) -
     tok = repartition_for_scan(docs).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
+    # project each md5 hex digit to an int ONCE (bits/4 convs per
+    # token) instead of re-deriving conv(substring(md5)) inside every
+    # one of the `bits` aggregate expressions — the aggregate then
+    # only does integer shift/mask work per lane (r6, guide §2.3
+    # narrow-the-work; bit extraction is exact integer math, sums
+    # unchanged)
     digest = F.md5(F.col("tok"))
+    n_digits = bits // 4
+    digits = tok.select(
+        "id",
+        *[
+            F.conv(F.substring(digest, j + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"d_{j}")
+            for j in range(n_digits)
+        ],
+    )
     contribs = []
     for p in range(bits):
-        hex_pos = p // 4 + 1
+        digit = F.col(f"d_{p // 4}")
         bit_in_digit = 3 - (p % 4)
-        digit = F.conv(F.substring(digest, hex_pos, 1), 16, 10).cast("int")
         bit = F.shiftright(digit, bit_in_digit).bitwiseAND(F.lit(1))
         contribs.append(F.sum(bit * 2 - 1).alias(f"s_{p}"))
-    return tok.groupBy("id").agg(*contribs)
+    return digits.groupBy("id").agg(*contribs)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -459,7 +511,13 @@ def simhash_band_pairs(
     the completeness guarantee then holds for pairs outside dropped
     buckets. Output: id_a, id_b, hamming.
     """
-    sigs = simhash_bands(docs, text_col, id_col, bits, n_bands)
+    # the signature table feeds THREE consumers (band explode + both
+    # sides of the hamming attach); checkpoint it so the token-md5
+    # majority pass runs once, not per consumer (r6; one small row per
+    # doc, so the checkpoint is corpus-count-bounded, never text-sized)
+    sigs = simhash_bands(docs, text_col, id_col, bits, n_bands).localCheckpoint(
+        eager=False
+    )
     entries = F.array(
         *[
             F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_val"))
@@ -482,13 +540,12 @@ def simhash_band_pairs(
     if cap_mode == "salt" and max_bucket_size is not None:
         join_keys = join_keys & (F.col("a._salt") == F.col("b._salt"))
     a, b_ = exploded.alias("a"), exploded.alias("b")
-    cands = (
+    cands = _distinct_pairs(
         a.join(
             b_,
             join_keys & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
     sa = sigs.select(
         F.col(id_col).alias("id_a"),
@@ -539,10 +596,19 @@ def lsh_verified_neardups(
 
     Output: id_a, id_b, jaccard_milli (int).
     """
-    sigs = minhash_signatures(docs, text_col, id_col, k, shingle_n)
+    # ONE shingle explode feeds both the minhash fit and the exact
+    # verification (r6: previously two full tokenize+shingle passes
+    # over the corpus); the checkpoint is (id, shingle) rows — the
+    # same table both consumers would re-derive
+    sh = exploded_shingles(docs, text_col, id_col, shingle_n).localCheckpoint(
+        eager=False
+    )
+    aggs = [
+        F.min(_minhash_col(F.col("sh"), i)).alias(f"sig_{i}") for i in range(k)
+    ]
+    sigs = sh.groupBy("id").agg(*aggs).withColumnRenamed("id", id_col)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band,
                                 max_bucket_size, cap_mode=cap_mode)
-    sh = exploded_shingles(docs, text_col, id_col, shingle_n)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # intersection size per candidate pair: attach a-side shingles,
     # equi-match them against b-side shingles on (id_b, sh)
@@ -703,8 +769,9 @@ def dup_clusters(
     Algorithm: min-label propagation (hash-to-min). labels start as
     own id; each round every node takes the min of its own label and
     its neighbors' labels (one equi-join edges->labels + one min
-    groupBy per round — both combine map-side). Converges in
-    O(component diameter) rounds; near-dup components are
+    groupBy per round — both combine map-side), plus a pointer-jumping
+    step (label's label) that short-cuts chains, giving
+    O(log diameter) rounds; near-dup components are
     star/clique-shaped (everything overlaps the same content), so 2-4
     rounds is typical. For adversarial long-chain graphs at cluster
     scale, the alternating large-star/small-star variant (Kiveris et
@@ -733,14 +800,28 @@ def dup_clusters(
         return _cc_on_surrogates(
             dup_clusters, docs, pairs, id_col, max_iters, verify_surrogates
         )
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    # the edge list is LOOP-INVARIANT: hash-partition it on the join
+    # both edge directions via ONE explode — a union of two selects
+    # over `pairs` embeds the (often expensive) pair pipeline twice in
+    # the plan, and ReuseExchange does not always collapse the copies
+    # (r6: measured 2x the pair-pipeline wall on the sf1 edges build).
+    # The edge list is LOOP-INVARIANT: hash-partition it on the join
     # key once and materialize, so every propagation round's
     # edges->labels join reuses this partitioning instead of
     # re-shuffling the full edge set per round (labels, which change
     # each round, are the only side that moves)
-    edges = fwd.union(rev).repartition("src").localCheckpoint(eager=True)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
 
     labels = docs.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("lbl")
@@ -758,11 +839,31 @@ def dup_clusters(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("nbr"))
         )
+        # pointer jumping (r6): besides the one-hop neighbor min, each
+        # node also adopts its CURRENT LABEL'S label — the classic
+        # short-cutting step that turns O(diameter) rounds into
+        # O(log diameter) (sf1's verified-pair graph has chain
+        # components: measured 17 rounds without the jump, 5 with).
+        # Safety: a label is always the id of a node in the same
+        # component (induction from init lbl=id), so the jump target's
+        # label is component-internal; labels stay monotone decreasing
+        # (least() includes the old label), and the sum-unchanged
+        # fixpoint test is unchanged. At the fixpoint the jump adds
+        # nothing (lbl(component_min) = component_min), so the
+        # converged labels — and the output — are IDENTICAL.
+        jump = labels.select(
+            F.col("id").alias("_jid"), F.col("lbl").alias("_jlbl")
+        )
         labels = (
             labels.join(nbr_min, "id", "left")
+            .join(jump, F.col("lbl") == F.col("_jid"), "left")
             .select(
                 "id",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))).alias("lbl"),
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("nbr"), F.col("lbl")),
+                    F.coalesce(F.col("_jlbl"), F.col("lbl")),
+                ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )

@@ -30,6 +30,26 @@ WS_RUN_PATTERN = rf"(\n[{WS_CLASS}]*)+"
 STRIP_PATTERN = rf"^[{WS_CLASS}]+|[{WS_CLASS}]+$"
 
 
+def eval_once(c: Column) -> Column:
+    """Identity wrapper that pins an expensive expression to a SINGLE
+    evaluation (r6, guide §4.4 generalized to pure expressions).
+
+    Catalyst's filter pushdown + CollapseProject inline a computed
+    column's expression into every consumer: `withColumn(q, <heavy>)
+    .filter(q >= t)` evaluates <heavy> once below the pushed filter
+    and again in the output projection (measured 4.4x on the sf1
+    curate_corpus score-then-filter chain). Wrapping the column as
+    shuffle(array(c))[0] is value-identity — a 1-element array has
+    one permutation — but `shuffle` is NON-DETERMINISTIC, which the
+    optimizer may not duplicate, push past, or constant-fold, so the
+    expression is computed exactly once and consumers read the
+    attribute. Apply to the expensive scored columns right before a
+    filter on them, not blanket (non-determinism also blocks
+    legitimate reorderings of other predicates).
+    """
+    return F.shuffle(F.array(c))[0]
+
+
 def doi_extract(c: Column) -> Column:
     """F1 — pymupdf.py:36-39."""
     return F.regexp_extract(c, DOI_PATTERN, 1)

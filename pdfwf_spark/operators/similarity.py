@@ -208,7 +208,11 @@ def ivf_assign(
     Plan shape: centroid side is tiny -> broadcast nested-loop score +
     one map-side-combining min_by per vector. No shuffle of the corpus.
     """
-    base = with_unit_norm(emb, vec_col).select(
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
+
+    # r6: the per-vector argmin is the whole cost; fan the scan out
+    # (single-row-group inputs otherwise run it on one task)
+    base = with_unit_norm(repartition_for_scan(emb), vec_col).select(
         F.col(id_col).alias("id"), "_vec", "_norm"
     )
     cents = base.filter(F.col("id") < n_centroids).select(

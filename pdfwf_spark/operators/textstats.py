@@ -346,9 +346,12 @@ def top_ngrams(
     the result set is deterministic.
     """
     from pdfwf_spark.operators.dedup import tokens, word_ngrams
+    from pdfwf_spark.operators.partitioning import repartition_for_scan
 
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
-    grams = docs.select(F.explode(word_ngrams(toks, n)).alias("ngram"))
+    grams = repartition_for_scan(docs).select(
+        F.explode(word_ngrams(toks, n)).alias("ngram")
+    )
     return (
         grams.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
