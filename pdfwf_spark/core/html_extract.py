@@ -95,8 +95,16 @@ class _Block:
     link_chars: int
     marker: int          # decision of nearest decisive ancestor at block open
 
+    _text: str | None = None
+
     def text(self) -> str:
-        return squeeze_spaces(" ".join(p for p in self.parts if p)).strip()
+        # cached (r6): flush() calls text() to decide keep, and the
+        # final join + title path call it again — the squeeze_spaces
+        # regex ran twice per block. Pure function of parts; caching
+        # returns the identical string.
+        if self._text is None:
+            self._text = squeeze_spaces(" ".join(p for p in self.parts if p)).strip()
+        return self._text
 
 
 def _frame_marker(tag: str, classes: tuple[str, ...]) -> int:
@@ -165,9 +173,14 @@ def extract_html(payload: str) -> tuple[str, list[tuple[int, int, str]], dict[st
                 continue
             if suppress_depth:
                 if title_depth:
-                    title_parts.append(squeeze_spaces(_htmllib.unescape(tok)).strip())
+                    # unescape only when an entity can exist: every
+                    # character reference starts with '&', so the
+                    # skip is exact (r6 — unescape is this loop's
+                    # hottest per-token call on entity-free corpora)
+                    t = _htmllib.unescape(tok) if "&" in tok else tok
+                    title_parts.append(squeeze_spaces(t).strip())
                 continue
-            text = _htmllib.unescape(tok)
+            text = _htmllib.unescape(tok) if "&" in tok else tok
             if current is None:
                 current = _Block(
                     start=m.start(), end=m.end(), parts=[], total_chars=0,

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import cached_property
 
 from pdfwf_spark.core.latex import LatexError, latex_to_text
 from pdfwf_spark.core.normalize import ascii_strip, collapse_ws_runs
@@ -89,11 +90,17 @@ class _Block:
     seq: int          # arrival order (NMS tiebreak)
     conf: float = 1.0  # detection confidence (P5); 1.0 when absent
 
-    @property
+    # cached (r6): area/x_mid are pure functions of the frozen-at-parse
+    # coordinates, but the NMS loop reads `area` O(kept) times per
+    # candidate and the rank sort O(log n) times per block — a plain
+    # @property recomputed the multiply every read (profiled: 230k
+    # area() calls for 2.3k payloads). Same IEEE ops once per block,
+    # so every downstream float compares bit-identically.
+    @cached_property
     def area(self) -> float:
         return max(0.0, self.x1 - self.x0) * max(0.0, self.y1 - self.y0)
 
-    @property
+    @cached_property
     def x_mid(self) -> float:
         return (self.x0 + self.x1) / 2.0
 

@@ -77,6 +77,9 @@ def tie_key_col(text: str = "text", tool: str = "tool") -> Column:
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """pandas twin of _extract_batches_arrow — kept for tests/callers
+    that exercise the mapInPandas path; the pipeline uses the Arrow
+    variant below (same per-row results, cheaper serialization)."""
     import time
 
     extract_payload = _warm_parser()
@@ -151,6 +154,106 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _INIT_US += init_to_report
 
 
+def _extract_batches_arrow(batches):
+    """Arrow-native extraction kernel (r6, guide §4.1/§4.2): the
+    mapInPandas path spent ~5x the parse wall converting batches
+    JVM->Arrow->pandas->Arrow->JVM — object columns (spans list-of-
+    struct, meta map) walk Python elements on BOTH conversions, and
+    the six passthrough columns (conv_id/turn_idx/role/ts/bucket/
+    tie_key) paid it for nothing. mapInArrow hands the RecordBatch
+    straight through: passthrough columns are REUSED untouched
+    (zero-copy, types preserved exactly), only text/tool are
+    materialized to Python, and output columns are built once with
+    pa.array at the exact Arrow types of EXTRACTED_SCHEMA. Per-row
+    parse results are byte-identical to _extract_batches (same
+    extract_payload loop)."""
+    import time
+
+    import pyarrow as pa
+
+    extract_payload = _warm_parser()
+    global _INIT_US
+    init_to_report, _INIT_US = (_INIT_US or 0), 0
+
+    span_t = pa.list_(
+        pa.struct(
+            [
+                pa.field("start", pa.int32(), nullable=False),
+                pa.field("end", pa.int32(), nullable=False),
+                pa.field("label", pa.string(), nullable=False),
+            ]
+        )
+    )
+    meta_t = pa.map_(pa.string(), pa.string())
+
+    for rb in batches:
+        n = rb.num_rows
+        if n == 0:
+            continue
+        t0 = time.monotonic_ns()
+        idx = {name: i for i, name in enumerate(rb.schema.names)}
+        texts = rb.column(idx["text"]).to_pylist()
+        tools = rb.column(idx["tool"]).to_pylist()
+        parser = [""] * n
+        status = [""] * n
+        reason = [""] * n
+        source = [""] * n
+        clean = [""] * n
+        spans: list[list[dict]] = [[] for _ in range(n)]
+        meta: list[dict] = [{} for _ in range(n)]
+        bytes_in = [0] * n
+        bytes_out = [0] * n
+        init_us = [0] * n
+        if init_to_report:
+            init_us[0], init_to_report = init_to_report, 0
+        for i in range(n):
+            t = texts[i] or ""
+            u = tools[i] or ""
+            res = extract_payload(t, u)
+            parser[i] = res.parser
+            status[i] = res.status
+            reason[i] = res.reason
+            source[i] = res.source
+            clean[i] = res.clean_text
+            spans[i] = [
+                {"start": s.start, "end": s.end, "label": s.label} for s in res.spans
+            ]
+            meta[i] = res.meta
+            bytes_in[i] = len(t) + len(u)
+            bytes_out[i] = len(res.clean_text)
+        extract_us = (time.monotonic_ns() - t0) // (n * 1000)
+        yield pa.RecordBatch.from_arrays(
+            [
+                rb.column(idx["conv_id"]),
+                rb.column(idx["turn_idx"]),
+                rb.column(idx["role"]),
+                rb.column(idx["ts"]),
+                pa.array(parser, pa.string()),
+                pa.array(status, pa.string()),
+                pa.array(reason, pa.string()),
+                pa.array(source, pa.string()),
+                pa.array(clean, pa.string()),
+                pa.array(spans, span_t),
+                pa.array(meta, meta_t),
+                pa.array(bytes_in, pa.int64()),
+                pa.array(bytes_out, pa.int64()),
+                pa.array([extract_us] * n, pa.int64()),
+                pa.array(init_us, pa.int64()),
+                rb.column(idx["bucket"]),
+                rb.column(idx["tie_key"]),
+            ],
+            names=[
+                "conv_id", "turn_idx", "role", "ts", "parser", "parse_status",
+                "fail_reason", "source_col", "clean_text", "spans", "meta",
+                "bytes_in", "bytes_out", "extract_us", "init_us", "bucket",
+                "tie_key",
+            ],
+        )
+
+    if init_to_report:
+        _INIT_US += init_to_report
+
+
 def extract_turns(transcripts: DataFrame) -> DataFrame:
     """transcripts (+ bucket col) -> extracted rows, all statuses.
 
@@ -160,7 +263,7 @@ def extract_turns(transcripts: DataFrame) -> DataFrame:
     """
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "bucket"]
     staged = transcripts.select(*cols).withColumn("tie_key", tie_key_col())
-    return staged.mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
+    return staged.mapInArrow(_extract_batches_arrow, EXTRACTED_SCHEMA)
 
 
 def successes(extracted: DataFrame) -> DataFrame:

@@ -43,12 +43,14 @@ def test_extraction_shuffle_budget(transcripts):
     # exchange sits below the scan); the extraction itself must add
     # only the window exchange on top of it
     assert auto.count("Exchange ") + auto.count("Exchange\n") == 2, auto
-    assert "MapInPandas" in auto
+    assert "MapInArrow" in auto
 
 
 def test_extraction_udf_is_arrow_batched(transcripts):
+    # r6: the extraction kernel is mapInArrow (RecordBatch in/out,
+    # passthrough columns reused untouched) — previously MapInPandas
     plan = _plan(extract_df(transcripts, n_buckets=16, n_partitions=4))
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_output_read_prunes_partitions(spark, transcripts, tmp_path):
