@@ -77,11 +77,18 @@ def main(argv: list[str] | None = None) -> None:
         else pool.filter(cfg.target_filter)
     )
     lr = dsir_fit(target, pool, cfg.text_col, cfg.n_buckets, cfg.salt)
+    # localCheckpoint: dsir_select evaluates `scored` for the quantile
+    # AND the filter, and the final join re-derives it again — without
+    # the checkpoint that is three full fit+score passes over the pool
+    # (r6, ADVICE item; the same idiom kmeans_cluster uses)
     scored = dsir_scores(
         pool, lr, cfg.id_col, cfg.text_col, cfg.n_buckets, cfg.salt
-    )
+    ).localCheckpoint(eager=False)
     if cfg.mode == "score":
-        out = pool.join(scored, cfg.id_col)
+        # LEFT join (r6, ADVICE item): scores are total over the pool,
+        # and an inner join would silently drop NULL-id rows; duplicate
+        # ids still fan out — callers own id uniqueness (documented)
+        out = pool.join(scored, cfg.id_col, "left")
     else:
         kept = dsir_select(scored, cfg.q)
         out = pool.join(kept, cfg.id_col)

@@ -350,13 +350,11 @@ def ngram_jaccard_pairs(
     sh = exploded_shingles(docs, text_col, id_col, shingle_n)
     if log_drops:
         _log_drops(sh, ["sh"], max_df, "ngram_jaccard_pairs")
-    # checkpoint the capped shingle table: FOUR consumers (both
-    # self-join sides — the shuffle_hash hint makes their subtrees
-    # differ, defeating ReuseExchange — plus both per-doc counts)
-    # would otherwise each re-run the tokenize+shingle+df-cap pass
-    # (r6; measured on the sf1 plan: 4 separate Exchanges over the
-    # same shingle subtree)
-    sh = cap_hot_groups(sh, ["sh"], max_df).localCheckpoint(eager=False)
+    # (r6 note: checkpointing this table was A/B'd and reverted — the
+    # recomputed shingle passes cost about what the materialization
+    # does, and corpus-row-sized checkpoint blocks pressure the shared
+    # local-mode heap when many queries run in one session)
+    sh = cap_hot_groups(sh, ["sh"], max_df)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = _pair_counts(
@@ -596,13 +594,10 @@ def lsh_verified_neardups(
 
     Output: id_a, id_b, jaccard_milli (int).
     """
-    # ONE shingle explode feeds both the minhash fit and the exact
-    # verification (r6: previously two full tokenize+shingle passes
-    # over the corpus); the checkpoint is (id, shingle) rows — the
-    # same table both consumers would re-derive
-    sh = exploded_shingles(docs, text_col, id_col, shingle_n).localCheckpoint(
-        eager=False
-    )
+    # ONE shingle-explode definition feeds both the minhash fit and
+    # the exact verification (r6; a corpus-row-sized checkpoint here
+    # was A/B'd and rejected — see ngram_jaccard_pairs)
+    sh = exploded_shingles(docs, text_col, id_col, shingle_n)
     aggs = [
         F.min(_minhash_col(F.col("sh"), i)).alias(f"sig_{i}") for i in range(k)
     ]

@@ -41,9 +41,18 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # r6: long multi-query sessions accumulate localCheckpoint /
+        # shuffle blocks whose cleanup waits on a driver JVM GC; the
+        # periodic ContextCleaner GC (default 30min) frees them on a
+        # cadence that matches a query-suite run instead. Env override
+        # for deployments with different session lifetimes.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
