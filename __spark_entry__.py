@@ -1529,10 +1529,12 @@ def _q_dsir_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; 2048 md5 buckets over unigrams+bigrams; log = Mitchell's
     fixed-point log2 in milli-bits, so the DuckDB twin (same bucket
     hash, same bit-length + interpolation arithmetic) is bit-exact."""
-    from pdfwf_spark.operators.selection import dsir_fit
+    from pdfwf_spark.operators.selection import dsir_fit_split
 
     docs = _t(spark, sf_dir, "documents")
-    return dsir_fit(docs.filter(F.col("lang") == "en"), docs, n_buckets=2048)
+    # r6: target = predicate subset of the pool -> single-pass split
+    # fit (identical counts; see dsir_fit_split)
+    return dsir_fit_split(docs, F.col("lang") == "en", n_buckets=2048)
 
 
 def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1540,10 +1542,10 @@ def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode_outer the hashed grams (empty docs survive with score 0),
     broadcast-join the dense 2048-row ratio table, ONE groupBy on
     doc_id. The oracle replays the fit CTEs and the scoring join."""
-    from pdfwf_spark.operators.selection import dsir_fit, dsir_scores
+    from pdfwf_spark.operators.selection import dsir_fit_split, dsir_scores
 
     docs = _t(spark, sf_dir, "documents")
-    lr = dsir_fit(docs.filter(F.col("lang") == "en"), docs, n_buckets=2048)
+    lr = dsir_fit_split(docs, F.col("lang") == "en", n_buckets=2048)
     return dsir_scores(docs, lr, n_buckets=2048)
 
 
@@ -1553,11 +1555,11 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is the lazy grouped-histogram quantile (O(distinct)
     shuffle, broadcast back), oracled against quantile_cont."""
     from pdfwf_spark.operators.selection import (
-        dsir_fit, dsir_scores, dsir_select,
+        dsir_fit_split, dsir_scores, dsir_select,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    lr = dsir_fit(docs.filter(F.col("lang") == "en"), docs, n_buckets=2048)
+    lr = dsir_fit_split(docs, F.col("lang") == "en", n_buckets=2048)
     return dsir_select(dsir_scores(docs, lr, n_buckets=2048), q=0.9)
 
 

@@ -150,12 +150,20 @@ def _pair_counts(pairs: DataFrame) -> DataFrame:
     required distribution, so the whole count runs as one post-shuffle
     aggregate with no useless partial maps (measured 40.8 s -> 15.9 s
     on the sf1 jaccard inter step; with the shuffle_hash join hint on
-    the producing self-join, 10.2 s). The keyed repartition inherits
-    spark.sql.shuffle.partitions — scale-adaptive, not a local-mode
-    constant.
+    the producing self-join, 10.2 s).
+
+    Partition count: 4x the session shuffle partitions (derived, not
+    a constant) — pair streams are orders of magnitude bigger than
+    their inputs, and at the default width the per-task aggregate map
+    (~2M entries at sf1) sits at the spill threshold, which made the
+    query bimodal (17-64 s). Narrower tasks keep the hash map far
+    from spill at every scale; the extra task count is noise next to
+    the stream size.
     """
+    spark = pairs.sparkSession
+    n_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     return (
-        pairs.repartition("id_a", "id_b")
+        pairs.repartition(n_parts, "id_a", "id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -165,8 +173,11 @@ def _distinct_pairs(pairs: DataFrame) -> DataFrame:
     """DISTINCT over a candidate-pair stream — same shape reasoning as
     _pair_counts (nearly-all-unique keys make the partial aggregate a
     no-op that still builds giant maps); repartition on the pair, then
-    a single post-shuffle distinct."""
-    return pairs.repartition("id_a", "id_b").distinct()
+    a single post-shuffle distinct (same derived width as
+    _pair_counts)."""
+    spark = pairs.sparkSession
+    n_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return pairs.repartition(n_parts, "id_a", "id_b").distinct()
 
 
 def tokens(text_col: Column) -> Column:
@@ -307,7 +318,12 @@ def lsh_candidate_pairs(
     if cap_mode == "salt" and max_bucket_size is not None:
         join_keys = join_keys & (F.col("a._salt") == F.col("b._salt"))
     a, b_ = exploded.alias("a"), exploded.alias("b")
-    return _distinct_pairs(
+    # plain distinct here (r6): minhash-band candidates REPEAT across
+    # bands (that is what the distinct removes), so map-side partial
+    # aggregation genuinely reduces — the repartition-aligned
+    # _distinct_pairs shape only wins on ~unique pair streams
+    # (simhash bands, jaccard co-shingles)
+    return (
         a.join(
             b_,
             join_keys & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -315,6 +331,7 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .distinct()
     )
 
 

@@ -116,6 +116,9 @@ def _gram_rows(
     grams = F.concat(toks, word_ngrams(toks, 2))
     ex = (F.explode_outer if outer else F.explode)(grams).alias("_gram")
     rows = repartition_for_scan(docs).select(*cols, ex)
+    # re-reference carried columns BY NAME: `cols` may hold aliased
+    # expressions over input columns that no longer exist post-select
+    carried = [F.col(c) for c in rows.columns[:-1]]
     bucket = (
         F.conv(
             F.substring(
@@ -126,7 +129,7 @@ def _gram_rows(
         ).cast("long")
         % n_buckets
     )
-    return rows.select(*cols, bucket.alias("bucket"))
+    return rows.select(*carried, bucket.alias("bucket"))
 
 
 def ngram_bucket_counts(
@@ -208,6 +211,44 @@ def dsir_fit(
     return dsir_log_ratio(
         ngram_bucket_counts(target_docs, text_col, n_buckets, salt),
         ngram_bucket_counts(raw_docs, text_col, n_buckets, salt),
+        n_buckets,
+    )
+
+
+def dsir_fit_split(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    salt: str = "dsir",
+) -> DataFrame:
+    """dsir_fit for the common composition where the TARGET corpus is
+    a predicate-subset of the pool (e.g. lang = 'en'): ONE gram pass
+    fits BOTH hashed models — the bucket aggregate counts count(*)
+    for the raw model and the predicate-conditional count for the
+    target model in the same map-side-combined pass (r6, guide §2.3
+    "aggregate before you shuffle"; previously two full tokenize+md5
+    passes over the pool). Counts are exactly
+    ngram_bucket_counts(docs.filter(pred)) / ngram_bucket_counts(docs)
+    — buckets absent from the target get cnt 0 here instead of no row,
+    which dsir_log_ratio's dense left-join + coalesce(0) already maps
+    to the identical smoothed ratio.
+    """
+    g = _gram_rows(
+        docs, [target_pred.alias("_is_t")], text_col, n_buckets, salt
+    )
+    agg = (
+        g.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("_r"),
+            F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_t"),
+        )
+        # <= n_buckets rows; two consumers below
+        .localCheckpoint(eager=False)
+    )
+    return dsir_log_ratio(
+        agg.select("bucket", F.col("_t").alias("cnt")),
+        agg.select("bucket", F.col("_r").alias("cnt")),
         n_buckets,
     )
 
