@@ -406,28 +406,40 @@ def _bit_majority_sums(docs: DataFrame, text_col: str, id_col: str, bits: int) -
     tok = repartition_for_scan(docs).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
-    # project each md5 hex digit to an int ONCE (bits/4 convs per
-    # token) instead of re-deriving conv(substring(md5)) inside every
-    # one of the `bits` aggregate expressions — the aggregate then
-    # only does integer shift/mask work per lane (r6, guide §2.3
-    # narrow-the-work; bit extraction is exact integer math, sums
-    # unchanged)
+    # decode the md5 hex ONCE per token into 15-digit integer halves
+    # (conv of 15 hex chars fits a positive long), then every digit is
+    # integer shift/mask — previously each of the `bits` aggregate
+    # expressions re-derived conv(substring(md5)) per token (r6, guide
+    # §2.3 narrow-the-work; identical digit values, sums unchanged)
     digest = F.md5(F.col("tok"))
     n_digits = bits // 4
+    halves = []
+    pos = 0
+    while pos < n_digits:
+        width = min(15, n_digits - pos)
+        halves.append((pos, width))
+        pos += width
     digits = tok.select(
         "id",
         *[
-            F.conv(F.substring(digest, j + 1, 1), 16, 10)
-            .cast("int")
-            .alias(f"d_{j}")
-            for j in range(n_digits)
+            F.conv(F.substring(digest, start + 1, width), 16, 10)
+            .cast("long")
+            .alias(f"h_{i}")
+            for i, (start, width) in enumerate(halves)
         ],
     )
+
+    def _digit(j: int):
+        for i, (start, width) in enumerate(halves):
+            if start <= j < start + width:
+                shift = 4 * (width - 1 - (j - start))
+                return F.shiftright(F.col(f"h_{i}"), shift).bitwiseAND(F.lit(15))
+        raise AssertionError(j)
+
     contribs = []
     for p in range(bits):
-        digit = F.col(f"d_{p // 4}")
         bit_in_digit = 3 - (p % 4)
-        bit = F.shiftright(digit, bit_in_digit).bitwiseAND(F.lit(1))
+        bit = F.shiftright(_digit(p // 4), bit_in_digit).bitwiseAND(F.lit(1))
         contribs.append(F.sum(bit * 2 - 1).alias(f"s_{p}"))
     return digits.groupBy("id").agg(*contribs)
 
